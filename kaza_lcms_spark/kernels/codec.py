@@ -1,0 +1,128 @@
+"""Deterministic image codecs + PSNR + perceptual hash (pure numpy).
+
+The input contract (BASELINE.json::input_hint) is a table of image+caption
+pairs ``(image_id, bytes, w, h, fmt, caption, phash)``. No image libraries
+(PIL/cv2) exist in this environment, so the codecs are from-scratch,
+deterministic, and simple — the engine cares about the *plumbing* (binary
+columns, Arrow batch shape, vectorized decode in mapInPandas), and the
+per-row invariant: decode(encode(img)) exact for lossless fmts, PSNR>=40 dB
+for the lossy fmt, caption byte-equality.
+
+Pixel model: single-band uint8 grayscale, row-major, shape (h, w).
+
+Formats:
+  raw   — header + raw bytes (lossless)
+  rle   — header + byte-level run-length encoding (lossless)
+  quant — header + 6-bit uniform quantization, RLE-packed codes (lossy;
+          max abs error <= 2 => worst-case PSNR = 20*log10(255/2) ≈ 42.1 dB,
+          satisfying the >=40 dB invariant unconditionally)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"KZ"
+FMT_RAW, FMT_RLE, FMT_QUANT = 0, 1, 2
+_FMT_CODE = {"raw": FMT_RAW, "rle": FMT_RLE, "quant": FMT_QUANT}
+_FMT_NAME = {v: k for k, v in _FMT_CODE.items()}
+_QBITS = 6
+_QLEVELS = 1 << _QBITS
+_QSTEP = 255.0 / (_QLEVELS - 1)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    a = np.frombuffer(data, dtype=np.uint8)
+    if len(a) == 0:
+        return b""
+    change = np.flatnonzero(np.diff(a)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(a)]])
+    out = bytearray()
+    for s, e in zip(starts, ends):
+        run = int(e - s)
+        v = int(a[s])
+        while run > 255:
+            out += bytes((255, v))
+            run -= 255
+        out += bytes((run, v))
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> np.ndarray:
+    b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
+    return np.repeat(b[:, 1], b[:, 0])
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels (h, w) uint8 -> bytes with header (magic, fmt, w, h)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape
+    code = _FMT_CODE[fmt]
+    header = MAGIC + struct.pack("<BII", code, w, h)
+    if code == FMT_RAW:
+        return header + pixels.tobytes()
+    if code == FMT_RLE:
+        return header + _rle_encode(pixels.tobytes())
+    q = np.round(pixels.astype(np.float64) / _QSTEP).astype(np.uint8)
+    return header + _rle_encode(q.tobytes())
+
+
+def decode(data: bytes) -> tuple[np.ndarray, str]:
+    """bytes -> (pixels (h, w) uint8, fmt name)."""
+    if data[:2] != MAGIC:
+        raise ValueError("bad magic")
+    code, w, h = struct.unpack("<BII", data[2:11])
+    body = data[11:]
+    if code == FMT_RAW:
+        px = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+    elif code == FMT_RLE:
+        px = _rle_decode(body).reshape(h, w)
+    elif code == FMT_QUANT:
+        q = _rle_decode(body).reshape(h, w).astype(np.float64)
+        px = np.clip(np.round(q * _QSTEP), 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown fmt code {code}")
+    return px, _FMT_NAME[code]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(d * d))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual-style hash: 8x8 block-mean downsample, threshold
+    by median, pack bits MSB-first. Deterministic, numpy-only."""
+    p = pixels.astype(np.float64)
+    h, w = p.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    small = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blk = p[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
+            small[i, j] = blk.mean()
+    bits = (small > np.median(small)).ravel()
+    v = np.uint64(0)
+    for b in bits:
+        v = (v << np.uint64(1)) | np.uint64(bool(b))
+    return int(v.astype(np.int64))
+
+
+def hamming64(a, b) -> np.ndarray:
+    """Vectorized Hamming distance between int64 hash arrays."""
+    x = (np.asarray(a).astype(np.int64).astype(np.uint64)
+         ^ np.asarray(b).astype(np.int64).astype(np.uint64))
+    # SWAR popcount
+    m1, m2, m4 = np.uint64(0x5555555555555555), np.uint64(0x3333333333333333), np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
