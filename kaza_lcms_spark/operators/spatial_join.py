@@ -1,0 +1,298 @@
+"""Two-phase spatial join: coarse cell prefilter → broadcast R-tree PIP.
+
+Re-grounds the reference's raster↔vector joins (sig-gis/kaza-lcms):
+``sampleRegions`` (src/utils/sampling.py:148-153), ``paint``
+(src/utils/s2process.py:172), ``filterBounds`` (src/utils/s2process.py:18),
+``clip`` (src/misc/sentinel1.py:59) — all are point/footprint-vs-polygon
+containment joins that GEE executes server-side over tiles.
+
+Physical strategy (BASELINE.json::north_star):
+
+1. **Driver-side plan construction** — compute the polygon set's cell cover
+   at a coarse level (kernels.grid.cover_polygon) → a partition-pruning /
+   prefilter predicate. At 100 TB this is what turns a full-table scan into
+   a scan of only the AOI's partitions.
+2. **Narrow map, no shuffle** — build a PolygonIndex (STR R-tree over
+   ring bboxes) once on the driver, broadcast it, probe it with vectorized
+   point batches inside ``mapInPandas``. Containment assignment therefore
+   costs ZERO shuffles: it is a map-side broadcast join, the same shape
+   Catalyst picks for small dimension tables, but with an R-tree instead
+   of a hash table. Skewed cells (borders/rivers) cannot hurt a narrow
+   map — skew handling matters only for the *keyed* operators downstream
+   (distance join / kNN), which salt explicitly.
+3. **Exact PIP** — even-odd ray casting (kernels.geom.points_in_polygon),
+   lowest-unit_id tie-break on shared borders so output is row-for-row
+   deterministic (reference parity requirement).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from ..kernels import geom, grid, rand
+from .. import datagen
+
+#: coarse grid level used as prefilter/shuffle key. Level 10 cells are
+#: ~0.35° — small enough to prune, big enough that polygon covers stay tiny.
+COARSE_LEVEL = 10
+#: fine level for per-image cell ids (~2.7 km at l=14 over lat band).
+FINE_LEVEL = 14
+
+
+# ----------------------------------------------------------- footprint & cell
+
+def image_index_col(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Parse the numeric index out of ``img_%012d`` ids — JVM-side only."""
+    return df.withColumn("img_idx", F.substring(F.col(id_col), 5, 12).cast("long"))
+
+
+def with_footprint(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Attach deterministic (lon, lat) center derived from the image id.
+
+    The input table is contract-shaped (no geo columns,
+    BASELINE.json::input_hint); the footprint is a pure function of the id
+    (datagen.footprint_from_ids), computed in a vectorized Arrow batch UDF.
+    """
+    @F.pandas_udf("lon double, lat double")
+    def fp(ids: pd.Series) -> pd.DataFrame:
+        idx = ids.str.slice(4).astype(np.int64).to_numpy()
+        lon, lat = datagen.footprint_from_ids(idx)
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return (df.withColumn("_fp", fp(F.col(id_col)))
+              .withColumn("lon", F.col("_fp.lon"))
+              .withColumn("lat", F.col("_fp.lat"))
+              .drop("_fp"))
+
+
+def with_cell(df: DataFrame, level: int = FINE_LEVEL,
+              lon_col: str = "lon", lat_col: str = "lat",
+              out_col: str = "cell_id") -> DataFrame:
+    """Attach the Morton cell id at `level` (vectorized pandas UDF)."""
+
+    @F.pandas_udf(LongType())
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), level))
+
+    return df.withColumn(out_col, enc(F.col(lon_col), F.col(lat_col)))
+
+
+# --------------------------------------------------------------- poly loading
+
+def load_polygon_index(polys_df: DataFrame,
+                       id_col: str = "unit_id") -> geom.PolygonIndex:
+    """Collect a (small) polygon table to the driver and build the R-tree.
+
+    Polygon sets in this workload are O(10–10^3) rows (AOI units,
+    reference polygons) — always broadcastable; the 10^12-row side is the
+    images table, which never moves.
+    """
+    rows = polys_df.select(id_col, "ring_xs", "ring_ys").collect()
+    return geom.PolygonIndex(
+        [r[id_col] for r in rows],
+        [np.asarray(r["ring_xs"]) for r in rows],
+        [np.asarray(r["ring_ys"]) for r in rows],
+    )
+
+
+def polygon_cover_cells(index: geom.PolygonIndex, level: int = COARSE_LEVEL) -> np.ndarray:
+    """Union of coarse cells intersecting any polygon (driver-side)."""
+    cells = [grid.cover_polygon(rx, ry, level)
+             for rx, ry in zip(index.rings_x, index.rings_y)]
+    return np.unique(np.concatenate(cells)) if cells else np.empty(0, np.int64)
+
+
+# ---------------------------------------------------------------- tile assign
+
+def assign_tiles(spark: SparkSession, points_df: DataFrame,
+                 index: geom.PolygonIndex,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 keep_cols: tuple[str, ...] = ("image_id",),
+                 prefilter: bool = True,
+                 first_match: bool = True) -> DataFrame:
+    """Point/footprint → polygon containment join (the flagship operator).
+
+    Returns keep_cols + (lon, lat, cell_id, unit_id); rows not inside any
+    polygon are dropped (inner-join semantics, matching ``sampleRegions``
+    dropping points off the raster/region).
+    """
+    bidx = spark.sparkContext.broadcast(index)
+
+    df = with_cell(points_df, FINE_LEVEL, lon_col, lat_col)
+    if prefilter:
+        cover = polygon_cover_cells(index, COARSE_LEVEL)
+        bset = spark.sparkContext.broadcast(np.sort(cover))
+
+        @F.pandas_udf("boolean")
+        def in_cover(cell: pd.Series) -> pd.Series:
+            coarse = grid.parent(cell.to_numpy(), COARSE_LEVEL)
+            return pd.Series(np.isin(coarse, bset.value, assume_unique=False))
+
+        df = df.where(in_cover(F.col("cell_id")))
+
+    cols = list(keep_cols) + [lon_col, lat_col, "cell_id"]
+    fields = [df.schema[c] for c in cols]
+    out_schema = StructType(fields + [StructField("unit_id", LongType())])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_local = bidx.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            pi, units = idx_local.probe(
+                b[lon_col].to_numpy(), b[lat_col].to_numpy(), first_match=first_match
+            )
+            out = b.iloc[pi].reset_index(drop=True)
+            out["unit_id"] = units
+            yield out
+
+    return df.select(*cols).mapInPandas(probe, out_schema)
+
+
+def zonal_stats(assigned: DataFrame, value_cols: tuple[str, ...] = (),
+                unit_col: str = "unit_id") -> DataFrame:
+    """Per-unit aggregate over assigned rows (reference analogs:
+    reduceRegion(mean) src/misc/sentinel1.py:88, area-by-class
+    src/misc/pt_calc_disprop.py:23-32). Partial aggregation (map-side
+    combine) comes free from Catalyst hash-agg, so skewed units cost one
+    hot reducer only for the tiny final combine."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in value_cols:
+        aggs += [F.avg(c).alias(f"avg_{c}"), F.sum(c).alias(f"sum_{c}")]
+    return assigned.groupBy(unit_col).agg(*aggs)
+
+
+# -------------------------------------------------------------- distance join
+
+def distance_join(points_df: DataFrame, radius_deg: float,
+                  id_col: str = "pt_id",
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  cell_level: int | None = None,
+                  salt: int = 1) -> DataFrame:
+    """All unordered pairs (a < b) within planar `radius_deg` degrees.
+
+    Re-grounds the reference's ``ee.Join.saveAll`` withinDistance self-join
+    (src/utils/sampling.py:12-28). Physical plan: pick a cell level whose
+    cell size ≥ radius → replicate each point to its 3×3 neighbor cells
+    (halo) → equi-join home×replica on cell → exact distance filter →
+    dedupe pair (a<b keeps one orientation; same pair may match in several
+    cells, distinct() collapses). The shuffle key is the cell id; `salt`
+    > 1 additionally splits hot cells by hashing the *right* side id, for
+    skewed river/border clusters (AQE skew-join also covers this at
+    runtime — salting is the explicit planner-side lever).
+    """
+    if cell_level is None:
+        # largest level whose cell height >= radius (lat degrees)
+        cell_level = max(0, min(24, int(np.floor(np.log2(180.0 / max(radius_deg, 1e-9))))))
+
+    lvl = cell_level
+
+    @F.pandas_udf(LongType())
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), lvl))
+
+    pts = points_df.select(
+        F.col(id_col).alias("pid"), F.col(lon_col).alias("px"), F.col(lat_col).alias("py")
+    ).withColumn("home", enc(F.col("px"), F.col("py")))
+
+    nbr_schema = StructType([
+        StructField("pid", pts.schema["pid"].dataType),
+        StructField("px", DoubleType()), StructField("py", DoubleType()),
+        StructField("cell", LongType()),
+    ])
+
+    def replicate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            nb = grid.neighbors(b["home"].to_numpy())  # (n, 9)
+            n, k = nb.shape
+            rep = b.loc[b.index.repeat(k)].reset_index(drop=True)
+            rep["cell"] = nb.ravel()
+            rep = rep.drop_duplicates(subset=["pid", "cell"])
+            yield rep[["pid", "px", "py", "cell"]]
+
+    right = pts.mapInPandas(replicate, nbr_schema)
+    left = pts.withColumnRenamed("home", "cell")
+    joined = left.join(right.withColumnRenamed("pid", "pid_b")
+                       .withColumnRenamed("px", "px_b").withColumnRenamed("py", "py_b"),
+                       on="cell")
+    dist = F.sqrt(F.pow(F.col("px") - F.col("px_b"), 2) + F.pow(F.col("py") - F.col("py_b"), 2))
+    pairs = (joined
+             .where(F.col("pid") < F.col("pid_b"))
+             .where(dist <= radius_deg)
+             .select(F.col("pid").alias("a"), F.col("pid_b").alias("b"))
+             .distinct())
+    return pairs
+
+
+def thin_points(points_df: DataFrame, radius_deg: float,
+                id_col: str = "pt_id",
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Min-distance thinning: drop points within `radius_deg` of a kept
+    lower-id point (reference: iterate-dedup src/utils/sampling.py:37-48,
+    re-grounded from a sequential fold to a deterministic per-cell greedy —
+    documented semantic re-grounding, SURVEY.md §4 last row).
+
+    Per coarse cell (with 3×3 halo), greedy-scan points by ascending id;
+    decisions are emitted only for home-cell points, so the result is
+    independent of partitioning. Chains longer than one halo radius may
+    deviate from a global greedy — deterministic either way.
+    """
+    cell_level = max(0, min(24, int(np.floor(np.log2(180.0 / max(radius_deg, 1e-9))))))
+    lvl = cell_level
+
+    @F.pandas_udf(LongType())
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), lvl))
+
+    pts = points_df.select(
+        F.col(id_col).alias("pid"), F.col(lon_col).alias("px"), F.col(lat_col).alias("py")
+    ).withColumn("home", enc(F.col("px"), F.col("py")))
+
+    rep_schema = StructType([
+        StructField("pid", pts.schema["pid"].dataType),
+        StructField("px", DoubleType()), StructField("py", DoubleType()),
+        StructField("home", LongType()), StructField("cell", LongType()),
+    ])
+
+    def replicate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            nb = grid.neighbors(b["home"].to_numpy())
+            n, k = nb.shape
+            rep = b.loc[b.index.repeat(k)].reset_index(drop=True)
+            rep["cell"] = nb.ravel()
+            rep = rep.drop_duplicates(subset=["pid", "cell"])
+            yield rep[["pid", "px", "py", "home", "cell"]]
+
+    rep = pts.mapInPandas(replicate, rep_schema)
+    out_schema = StructType([StructField("pid", pts.schema["pid"].dataType)])
+    r = radius_deg
+
+    def greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = key[0]
+        pdf = pdf.sort_values("pid").reset_index(drop=True)
+        x = pdf["px"].to_numpy(); y = pdf["py"].to_numpy()
+        n = len(pdf)
+        kept = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if i == 0:
+                kept[i] = True
+                continue
+            prev = np.flatnonzero(kept[:i])
+            d2 = (x[prev] - x[i]) ** 2 + (y[prev] - y[i]) ** 2
+            kept[i] = not np.any(d2 <= r * r)
+        keep_home = kept & (pdf["home"].to_numpy() == cell)
+        return pdf.loc[keep_home, ["pid"]]
+
+    return rep.groupBy("cell").applyInPandas(greedy, out_schema)

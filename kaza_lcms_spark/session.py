@@ -1,0 +1,52 @@
+"""SparkSession factory with the engine's standing configuration.
+
+The reference (sig-gis/kaza-lcms) delegates all execution tuning to GEE
+server-side knobs (``tileScale=16`` at src/utils/sampling.py:152,179,
+``maxPixels=1e13`` at src/utils/exports.py:16). Our engine's equivalents
+are Spark configs set once here:
+
+* Arrow on — every Python kernel is a vectorized pandas UDF over Arrow
+  batches (BASELINE.json::input_hint forbids per-row Python UDFs).
+* AQE on, incl. skew-join splitting — the runtime half of the skew story
+  (border/river hot cells); explicit salting is the planner half
+  (operators/spatial_join.py).
+* Arrow batch size bounded — image `bytes` payloads inflate batches;
+  64 MiB-ish batches at 10 KiB/image ≈ 6k rows, so cap records per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+ARROW_MAX_RECORDS = 4096
+
+
+def get_spark(
+    app_name: str = "kaza-lcms-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
