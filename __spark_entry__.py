@@ -1,38 +1,654 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an engine operator from SURVEY.md §2 (or a
+driver-required training-data op) run by Spark; the matching
+``oracle_sql()`` string is an independent DuckDB implementation over the
+same parquet tables. Spatial inputs are *derived* from the driver tables
+with pure integer arithmetic (kaza_lcms_spark.plans.derived) so both
+engines see bit-identical doubles; custom kernels (PIP, Morton, SimHash,
+dot products) are gated against code-generated ANSI-SQL oracles
+(kaza_lcms_spark.plans.oracles).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from kaza_lcms_spark import functions as KF
+from kaza_lcms_spark.plans import derived as D
+from kaza_lcms_spark.plans import oracles as O
+from kaza_lcms_spark.operators import (
+    composite as C,
+    dedup as DD,
+    knn as KNN,
+    sampling as S,
+    spatial_join as SJ,
+    text as T,
+)
+
+M31 = D.M31
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str, limit_mod: int | None = None) -> DataFrame:
+    """Derived KAZA points from orders — same SQL text as the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    if limit_mod:
+        orders = orders.where(F.expr(f"o_orderkey % {limit_mod} = 0"))
+    return orders.selectExpr(
+        "o_orderkey AS pt_id",
+        f"{D.lon_sql('o_orderkey')} AS lon",
+        f"{D.lat_sql('o_orderkey')} AS lat",
+        "o_totalprice AS val",
+    )
+
+
+_POINTS_SQL = D.points_from_orders_sql()
+_POINTS40_SQL = D.points_from_orders_sql(40)
+
+
+# =============================================================== spatial ====
+
+def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: engine two-phase PIP join (broadcast R-tree in mapInPandas)."""
+    idx = SJ.load_polygon_index_from_fixture()
+    pts = _points(spark, sf_dir)
+    a = SJ.assign_tiles(spark, pts, idx, keep_cols=("pt_id",))
+    return a.select("pt_id", F.col("unit_id").cast("long").alias("unit_id"))
+
+
+def q_tile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: zonal stats per AOI unit over the assigned points."""
+    idx = SJ.load_polygon_index_from_fixture()
+    pts = _points(spark, sf_dir)
+    a = SJ.assign_tiles(spark, pts, idx, keep_cols=("pt_id", "val"))
+    return (a.groupBy(F.col("unit_id").cast("long").alias("unit_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("val"), 2).alias("avg_val")))
+
+
+def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid kernel: Morton cell id at level 8 (engine UDF vs SQL interleave)."""
+    pts = _points(spark, sf_dir)
+    return SJ.with_cell(pts, 8).select("pt_id", "cell_id")
+
+
+def q_landcover_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/R8: per-stratum totals (proportional-allocation inputs,
+    reference /root/reference/src/misc/pt_calc_disprop.py:23-55)."""
+    pts = _points(spark, sf_dir)
+    lc = F.expr(D.landcover_class_sql("lon", "lat"))
+    return (pts.withColumn("LANDCOVER", lc)
+            .groupBy("LANDCOVER")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("val"), 2).alias("sum_val")))
+
+
+def q_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: distance self-join via cell+halo equi-join (engine) vs brute SQL."""
+    pts = _points(spark, sf_dir, limit_mod=40)
+    return SJ.distance_join(pts, 0.3, id_col="pt_id")
+
+
+def q_focal_neighbor_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/W1: focal (3×3) aggregation over a derived grid via 9-offset
+    equi-joins (shuffle-on-cell; no Python)."""
+    pts = _points(spark, sf_dir)
+    cells = pts.selectExpr(
+        "CAST(FLOOR((lon - 18.0) / 9.0 * 32.0) AS BIGINT) AS ix",
+        "CAST(FLOOR((lat + 20.5) / 7.0 * 32.0) AS BIGINT) AS iy",
+    ).groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n"))
+    out = None
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nb = cells.select((F.col("ix") + dx).alias("ix"),
+                              (F.col("iy") + dy).alias("iy"),
+                              F.col("n").alias("nn"))
+            out = nb if out is None else out.unionByName(nb)
+    nbr = out.groupBy("ix", "iy").agg(F.sum("nn").alias("nbr_sum"))
+    return cells.join(nbr, ["ix", "iy"]).select("ix", "iy", "n", "nbr_sum")
+
+
+def q_ceo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9: CEO export formatting (/root/reference/src/00sample_pts.py:30-46)."""
+    pts = _points(spark, sf_dir, limit_mod=40)
+    # lon/lat are bit-identical doubles on both engines — no rounding needed
+    return S.ceo_format(pts, "kaza")
+
+
+# ============================================================== sampling ====
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R4: exact per-class deterministic top-k (stratifiedSample)."""
+    ev = _t(spark, sf_dir, "events")
+    return (S.stratified_topk(ev, "event_type", "event_id", 50)
+            .select("event_id", "event_type"))
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3/R6: deterministic 80/20 split tags (split_train_test)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (S.with_split_tag(orders, "o_orderkey")
+            .groupBy("o_orderstatus", "split").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ============================================================= composite ====
+
+def q_pct_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: exact percentile composite (p10..p90)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = C.percentile_composite(li, "l_returnflag", ["l_quantity"])
+    cols = [F.round(c, 4).alias(c) for c in out.columns if c != "l_returnflag"]
+    return out.select("l_returnflag", *cols)
+
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 relational baseline: TPC-H Q1-shaped pricing summary."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (k=1): per-group OLS via sufficient statistics, JVM-side."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", (F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+              - F.lit(1704067200)) / F.lit(86400.0))
+    out = C.ols_simple(ev, "event_type", "x", "value")
+    return out.select("event_type", F.round("slope", 6).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"))
+
+
+def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (streaming-analog batch: SURVEY.md §2.10)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    return (ev.groupBy("event_type", hour)
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+# ================================================================= joins ====
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/P8: customers with no high-value (>250k) order (left anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_semi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 analog: semi-join + per-nation counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 saveFirst: attach the first lineitem (l_linenumber=1) per order."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName of two filtered aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    hi = (o.where(F.col("o_totalprice") > 200000)
+          .agg(F.count(F.lit(1)).alias("n")).withColumn("tag", F.lit("hi")))
+    lo = (o.where(F.col("o_totalprice") <= 200000)
+          .agg(F.count(F.lit(1)).alias("n")).withColumn("tag", F.lit("lo")))
+    return hi.unionByName(lo).select("tag", "n")
+
+
+def q_argmax_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/A12: per-user argmax event_type by total value (assemblage rule,
+    deterministic tie-break by type name)."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id", "event_type").agg(F.sum("value").alias("s"))
+    w = Window.partitionBy("user_id").orderBy(F.col("s").desc(), F.col("event_type").asc())
+    return (s.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+            .select("user_id", F.col("event_type").alias("top_type")))
+
+
+# ======================================================== accuracy / ML =====
+
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: confusion counts (true=label, pred=hash surrogate model)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pred = (F.col("vec_id") * F.lit(48271) % F.lit(M31) % F.lit(4)).cast("long")
+    return (e.select(F.col("label").cast("long").alias("true_label"), pred.alias("pred_label"))
+            .groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_accuracy_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: producer's/user's accuracy per class from the confusion matrix
+    (reference /root/reference/src/misc/05accuracy.py:89-133)."""
+    cm = q_confusion_matrix(spark, sf_dir)
+    diag = cm.where(F.col("true_label") == F.col("pred_label")) \
+             .select(F.col("true_label").alias("label"), F.col("n").alias("d"))
+    rows = cm.groupBy(F.col("true_label").alias("label")).agg(F.sum("n").alias("rt"))
+    cols = cm.groupBy(F.col("pred_label").alias("label")).agg(F.sum("n").alias("ct"))
+    return (diag.join(rows, "label").join(cols, "label")
+            .select("label",
+                    F.round(F.col("d") / F.col("rt"), 4).alias("producers_acc"),
+                    F.round(F.col("d") / F.col("ct"), 4).alias("users_acc")))
+
+
+# ========================================================== text / dedup ====
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3")
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return DD.jaccard_pairs(docs)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_signal(_t(spark, sf_dir, "documents"))
+
+
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.regex_token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ====================================================== similarity search ===
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (deterministic fold; oracle-replayable)."""
+    return KNN.cosine_topk_relational(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-3 over derived 62-bit hashes (phash-kNN shape)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    h = (F.shiftleft(F.col("doc_id") * F.lit(48271) % F.lit(M31), 31)
+         .bitwiseOR(F.col("doc_id") * F.lit(69621) % F.lit(M31)))
+    return KNN.hamming_topk(docs.select("doc_id", h.alias("h")), k=3)
+
+
+# ===================================================== non-SQL-expressible ==
+
+def q_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/J3: deterministic min-distance thinning (iterative semantics —
+    no SQL oracle; rows-only check; matched vs brute force in pytest)."""
+    pts = _points(spark, sf_dir, limit_mod=40)
+    return SJ.thin_points(pts, 0.25, id_col="pt_id").orderBy("pid")
+
+
+def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (k=4): harmonic OLS via Gram-matrix sufficient stats + 4×4 solve
+    (no SQL oracle; matched vs np.linalg.lstsq in pytest)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", (F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+              - F.lit(1704067200)) / F.lit(86400.0 * 365.25))
+    out = C.harmonic_fit(ev, "event_type", "t", "value", period=1.0)
+    return out.select("event_type", *[F.round(c, 6).alias(c) for c in out.columns[1:]])
+
+
+def q_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN fast path: broadcast matrix + numpy matmul in mapInPandas
+    (same results as q_ann_cosine_topk up to FP rounding; rows-only)."""
+    return KNN.cosine_topk_blocked(spark, _t(spark, sf_dir, "embeddings"), k=5)
+
+
+# ================================================================ contract ==
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial tile assignment + zonal stats at sf0.001."""
+    return q_tile_zonal(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assignment": q_tile_assignment,
+        "tile_zonal": q_tile_zonal,
+        "cell_morton": q_cell_morton,
+        "landcover_zonal": q_landcover_zonal,
+        "distance_pairs": q_distance_pairs,
+        "focal_neighbor_sum": q_focal_neighbor_sum,
+        "ceo_format": q_ceo_format,
+        "stratified_sample": q_stratified_sample,
+        "split_counts": q_split_counts,
+        "pct_composite": q_pct_composite,
+        "q1_pricing": q_q1_pricing,
+        "ols_trend": q_ols_trend,
+        "window_hourly": q_window_hourly,
+        "anti_join": q_anti_join,
+        "semi_agg": q_semi_agg,
+        "first_match_join": q_first_match_join,
+        "union_tagged": q_union_tagged,
+        "argmax_user_type": q_argmax_user_type,
+        "confusion_matrix": q_confusion_matrix,
+        "accuracy_per_class": q_accuracy_per_class,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "lang_signal": q_lang_signal,
+        "regex_tokens": q_regex_tokens,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_hamming": q_knn_hamming,
+        # non-SQL-expressible (rows-only checks):
+        "thinning": q_thinning,
+        "harmonic_fit": q_harmonic_fit,
+        "cosine_topk_blocked": q_cosine_topk_blocked,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pip_case = O.pip_unit_case_sql("lon", "lat")
+    morton8 = O.morton_cell_sql("lon", "lat", 8)
+    lc = D.landcover_class_sql("lon", "lat")
+    stop_list = ",".join(f"'{s}'" for s in T.EN_STOPWORDS)
+    mh = DD.MINHASH_PARAMS
+    dot64 = O.dot_product_sql("a.embedding", "b.embedding", 64)
+    simhash16 = O.simhash_agg_sql("h", 16)
+
+    tok_cte = """
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        dtoks AS (SELECT DISTINCT doc_id, token FROM toks),
+        dict AS (
+            SELECT token, DENSE_RANK() OVER (ORDER BY token) AS tid
+            FROM (SELECT DISTINCT token FROM toks)
+        )"""
+
+    return {
+        "tile_assignment": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT pt_id, CAST({pip_case} AS BIGINT) AS unit_id
+            FROM pts WHERE ({pip_case}) IS NOT NULL
+        """,
+        "tile_zonal": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            a AS (SELECT pt_id, val, CAST({pip_case} AS BIGINT) AS unit_id FROM pts)
+            SELECT unit_id, COUNT(*) AS n, ROUND(AVG(val), 2) AS avg_val
+            FROM a WHERE unit_id IS NOT NULL GROUP BY unit_id
+        """,
+        "cell_morton": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT pt_id, {morton8} AS cell_id FROM pts
+        """,
+        "landcover_zonal": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT ({lc}) AS LANDCOVER, COUNT(*) AS n, ROUND(SUM(val), 2) AS sum_val
+            FROM pts GROUP BY 1
+        """,
+        "distance_pairs": f"""
+            WITH pts AS ({_POINTS40_SQL})
+            SELECT a.pt_id AS a, b.pt_id AS b
+            FROM pts a JOIN pts b
+              ON a.pt_id < b.pt_id
+             AND (a.lon - b.lon) * (a.lon - b.lon)
+               + (a.lat - b.lat) * (a.lat - b.lat) <= 0.3 * 0.3
+        """,
+        "focal_neighbor_sum": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            cells AS (
+                SELECT CAST(FLOOR((lon - 18.0) / 9.0 * 32.0) AS BIGINT) AS ix,
+                       CAST(FLOOR((lat + 20.5) / 7.0 * 32.0) AS BIGINT) AS iy,
+                       COUNT(*) AS n
+                FROM pts GROUP BY 1, 2)
+            SELECT a.ix, a.iy, a.n, SUM(b.n) AS nbr_sum
+            FROM cells a JOIN cells b
+              ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+             AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+            GROUP BY a.ix, a.iy, a.n
+        """,
+        "ceo_format": f"""
+            WITH pts AS ({_POINTS40_SQL})
+            SELECT CAST(lon AS DOUBLE) AS LON, CAST(lat AS DOUBLE) AS LAT,
+                   'kaza_' || CAST(pt_id AS VARCHAR) AS PLOTID,
+                   'kaza_' || CAST(pt_id AS VARCHAR) AS SAMPLEID
+            FROM pts
+        """,
+        "stratified_sample": f"""
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY (event_id * 48271) % {M31} ASC, event_id ASC) AS rn
+                FROM events) WHERE rn <= 50
+        """,
+        "split_counts": f"""
+            SELECT o_orderstatus,
+                   CASE WHEN ((o_orderkey * 69621) % {M31}) / 2147483647.0 < 0.8
+                        THEN 'train' ELSE 'test' END AS split,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "pct_composite": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.10), 4) AS p10_l_quantity,
+                   ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25_l_quantity,
+                   ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50_l_quantity,
+                   ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75_l_quantity,
+                   ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90_l_quantity
+            FROM lineitem GROUP BY 1
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '2001-09-02'
+            GROUP BY 1, 2
+        """,
+        "ols_trend": """
+            WITH e AS (
+                SELECT event_type,
+                       (CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1704067200)
+                           / 86400.0 AS x,
+                       value AS y
+                FROM events)
+            SELECT event_type,
+                   ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                         / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope,
+                   ROUND((SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                         / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * SUM(x))
+                         / COUNT(*), 6) AS intercept
+            FROM e GROUP BY 1
+        """,
+        "window_hourly": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 250000)
+        """,
+        "semi_agg": """
+            SELECT c_nationkey, COUNT(*) AS n FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        """,
+        "first_match_join": """
+            SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND l_linenumber = 1
+            GROUP BY 1
+        """,
+        "union_tagged": """
+            SELECT 'hi' AS tag, COUNT(*) AS n FROM orders WHERE o_totalprice > 200000
+            UNION ALL
+            SELECT 'lo' AS tag, COUNT(*) AS n FROM orders WHERE o_totalprice <= 200000
+        """,
+        "argmax_user_type": """
+            SELECT user_id, event_type AS top_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY SUM(value) DESC, event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type) WHERE rn = 1
+        """,
+        "confusion_matrix": f"""
+            SELECT CAST(label AS BIGINT) AS true_label,
+                   (vec_id * 48271) % {M31} % 4 AS pred_label,
+                   COUNT(*) AS n
+            FROM embeddings GROUP BY 1, 2
+        """,
+        "accuracy_per_class": f"""
+            WITH cm AS (
+                SELECT CAST(label AS BIGINT) AS t, (vec_id * 48271) % {M31} % 4 AS p,
+                       COUNT(*) AS n
+                FROM embeddings GROUP BY 1, 2),
+            d AS (SELECT t AS label, n AS d FROM cm WHERE t = p),
+            r AS (SELECT t AS label, SUM(n) AS rt FROM cm GROUP BY 1),
+            c AS (SELECT p AS label, SUM(n) AS ct FROM cm GROUP BY 1)
+            SELECT d.label, ROUND(d.d / r.rt, 4) AS producers_acc,
+                   ROUND(d.d / c.ct, 4) AS users_acc
+            FROM d JOIN r USING (label) JOIN c USING (label)
+        """,
+        "exact_dedup": """
+            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct FROM documents
+        """,
+        "minhash_signatures": f"""
+            WITH {tok_cte},
+            dt AS (SELECT d.doc_id, dict.tid FROM dtoks d JOIN dict USING (token))
+            SELECT doc_id,
+                   MIN((tid * {mh[0][0]} + {mh[0][1]}) % {M31}) AS mh0,
+                   MIN((tid * {mh[1][0]} + {mh[1][1]}) % {M31}) AS mh1,
+                   MIN((tid * {mh[2][0]} + {mh[2][1]}) % {M31}) AS mh2,
+                   MIN((tid * {mh[3][0]} + {mh[3][1]}) % {M31}) AS mh3
+            FROM dt GROUP BY doc_id
+        """,
+        "lsh_pairs": f"""
+            WITH {tok_cte},
+            dt AS (SELECT d.doc_id, dict.tid FROM dtoks d JOIN dict USING (token)),
+            sig AS (
+                SELECT doc_id,
+                       MIN((tid * {mh[0][0]} + {mh[0][1]}) % {M31}) AS mh0,
+                       MIN((tid * {mh[1][0]} + {mh[1][1]}) % {M31}) AS mh1,
+                       MIN((tid * {mh[2][0]} + {mh[2][1]}) % {M31}) AS mh2,
+                       MIN((tid * {mh[3][0]} + {mh[3][1]}) % {M31}) AS mh3
+                FROM dt GROUP BY doc_id)
+            SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+                  ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+                  ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id)
+        """,
+        "jaccard_pairs": """
+            WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM docs),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+            com AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+                FROM toks x JOIN toks y ON x.token = y.token AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+            SELECT a, b,
+                   ROUND(common / (sa.sz + sb.sz - common), 4) AS jaccard
+            FROM com JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        """,
+        "simhash": f"""
+            WITH {tok_cte},
+            th AS (
+                SELECT t.doc_id, (dict.tid * 48271) % {M31} AS h
+                FROM toks t JOIN dict USING (token))
+            SELECT doc_id, {simhash16} AS simhash FROM th GROUP BY doc_id
+        """,
+        "text_quality": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(LENGTH(token)), 4) AS avg_tok_len,
+                   ROUND(AVG(CASE WHEN token IN ({stop_list}) THEN 1.0 ELSE 0.0 END), 4)
+                       AS stop_ratio
+            FROM toks GROUP BY doc_id
+        """,
+        "lang_signal": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+            g AS (
+                SELECT doc_id,
+                       AVG(CASE WHEN token IN ({stop_list}) THEN 1.0 ELSE 0.0 END) AS sr
+                FROM toks GROUP BY doc_id)
+            SELECT doc_id, ROUND(sr, 4) AS stop_ratio,
+                   CAST(sr >= 0.08 AS INT) AS en_guess
+            FROM g
+        """,
+        "regex_tokens": """
+            SELECT doc_id, LEN(regexp_extract_all(text, '[a-z]+')) AS n_matches
+            FROM documents
+        """,
+        "fingerprint": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS token,
+                       unnest(range(0, LEN(string_split(text, ' ')))) AS pos
+                FROM documents)
+            SELECT doc_id,
+                   SUM(CAST(LENGTH(token) AS BIGINT)
+                       * CAST(POW(31.0, CAST(pos % 8 AS DOUBLE)) AS BIGINT))
+                       % 1000000007 AS fp
+            FROM toks GROUP BY doc_id
+        """,
+        "ann_cosine_topk": f"""
+            SELECT vec_id, neighbor_id, cos FROM (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       ROUND({dot64}, 4) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY {dot64} DESC, b.vec_id ASC) AS rn
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rn <= 5
+        """,
+        "knn_hamming": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       (((doc_id * 48271) % {M31}) << 31) | ((doc_id * 69621) % {M31}) AS h
+                FROM documents WHERE doc_id < 200)
+            SELECT doc_id, neighbor_id, hamming FROM (
+                SELECT a.doc_id, b.doc_id AS neighbor_id,
+                       bit_count(xor(a.h, b.h)) AS hamming,
+                       ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                           ORDER BY bit_count(xor(a.h, b.h)) ASC, b.doc_id ASC) AS rn
+                FROM h a JOIN h b ON a.doc_id <> b.doc_id)
+            WHERE rn <= 3
+        """,
+    }

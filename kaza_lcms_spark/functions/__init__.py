@@ -1,0 +1,63 @@
+"""Column-expression helpers — JVM-side (whole-stage codegen), no Python.
+
+Re-grounds the reference's per-pixel scalar surface (SURVEY.md §2.6):
+normalized differences, band algebra, argmax assemblage, deterministic
+randomness — all as pyspark.sql Column builders so Catalyst/Tungsten keep
+them inside codegen spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+M31 = 2147483647
+
+
+def detrand(key: Column, mult: int = 48271) -> Column:
+    """Deterministic U[0,1) from an integer key column — the engine's
+    randomColumn(seed) analog (reference:
+    /root/reference/src/utils/sampling.py:104,153,188). Unlike F.rand,
+    the value is a pure function of the key: stable across partitionings,
+    retries, and cluster sizes. Lehmer mod 2^31-1, all JVM-side."""
+    return (key * F.lit(mult)) % F.lit(M31) / F.lit(float(M31))
+
+
+def detrand_int(key: Column, mult: int = 48271) -> Column:
+    """Deterministic positive int in [0, 2^31-1) from an integer key."""
+    return (key * F.lit(mult)) % F.lit(M31)
+
+
+def normalized_difference(a: Column, b: Column) -> Column:
+    """(a-b)/(a+b) — the reference's normalizedDifference family (15 index
+    functions, /root/reference/src/utils/covariates.py:85-143)."""
+    return (a - b) / (a + b)
+
+
+def evi(nir: Column, red: Column, blue: Column) -> Column:
+    """Enhanced Vegetation Index (/root/reference/src/utils/covariates.py:154-165)."""
+    return F.lit(2.5) * (nir - red) / (nir + F.lit(6.0) * red - F.lit(7.5) * blue + F.lit(1.0))
+
+
+def savi(nir: Column, red: Column, L: float = 0.9) -> Column:
+    """Soil-Adjusted VI (/root/reference/src/utils/covariates.py:167-177)."""
+    return (nir - red) / (nir + red + F.lit(L)) * F.lit(1.0 + L)
+
+
+def argmax_index(arr: Column) -> Column:
+    """1-based index of the max element, first occurrence wins ties — the
+    assemblage rule (+1 class offset) of
+    /root/reference/src/utils/assemblage.py:12-25."""
+    return F.array_position(arr, F.array_max(arr))
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two array columns via
+    zip_with + aggregate — deterministic accumulation order (matches the
+    generated oracle SQL chain bit-for-bit)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_fold(a, a))

@@ -1,0 +1,109 @@
+"""Composite / time-series aggregation operators (SURVEY.md §2.4).
+
+Re-grounds sig-gis/kaza-lcms composite building (src/utils/s2process.py):
+* Percentile composite — ``reduce(ee.Reducer.percentile([10,25,50,75,90]))``
+  per band (src/utils/s2process.py:137-139) → exact `percentile` hash-agg
+  (partial+final combine free from Catalyst; one shuffle on the group key).
+* Harmonic OLS — ``ee.Reducer.linearRegression`` over
+  [constant, t, cos, sin] (src/utils/harmonics.py:14-46) → closed-form
+  normal equations from sufficient statistics: one groupBy computing
+  sums of cross-products, then a tiny 4×4 solve vectorized in numpy via
+  applyInPandas over the (small) per-group result. No per-row Python.
+* Mean composite (src/misc/sentinel1.py:59) → avg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def percentile_composite(df: DataFrame, group_col: str, band_cols: list[str],
+                         pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9)
+                         ) -> DataFrame:
+    """Exact interpolated percentiles per group per band; output columns
+    p{pct}_{band} (reference band naming 'p20_blue' style,
+    src/utils/covariates.py:261-274)."""
+    aggs = []
+    for b in band_cols:
+        for p in pcts:
+            name = f"p{int(p * 100)}_{b}"
+            aggs.append(F.percentile(F.col(b), F.lit(p)).alias(name))
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def mean_composite(df: DataFrame, group_col: str, band_cols: list[str]) -> DataFrame:
+    return df.groupBy(group_col).agg(
+        *[F.avg(b).alias(f"mean_{b}") for b in band_cols])
+
+
+def ols_simple(df: DataFrame, group_col: str, x_col: str, y_col: str) -> DataFrame:
+    """Single-regressor OLS per group via sufficient statistics — the
+    degenerate (k=1) case of the harmonic solver, fully JVM-side:
+    slope = (n·Σxy − Σx·Σy)/(n·Σxx − (Σx)²), intercept = ȳ − slope·x̄."""
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x_col).alias("sx"), F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / \
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    icept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return g.select(group_col, slope.alias("slope"), icept.alias("intercept"))
+
+
+def harmonic_fit(df: DataFrame, group_col: str, t_col: str, y_col: str,
+                 period: float = 1.0) -> DataFrame:
+    """Per-group harmonic regression y ~ b0 + b1·t + b2·cos(2πt/P) + b3·sin(2πt/P)
+    (reference: src/utils/harmonics.py:14-46; 4×1 coefficient image, then
+    phase=atan2(cos,sin), amplitude=hypot — src/utils/harmonics.py:35-46).
+
+    Two stages: (1) a single hash-agg computing the 4×4 Gram matrix and
+    4-vector of cross sums (16+4 scalars, JVM-side); (2) per-group 4×4
+    `np.linalg.solve` in applyInPandas over the tiny aggregated frame.
+    """
+    w = 2.0 * np.pi / period
+    t = F.col(t_col)
+    xs = [F.lit(1.0), t, F.cos(F.lit(w) * t), F.sin(F.lit(w) * t)]
+    names = ["c", "t", "cos", "sin"]
+    aggs = []
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}{j}"))
+        aggs.append(F.sum(xs[i] * F.col(y_col)).alias(f"b_{i}"))
+    g = df.groupBy(group_col).agg(*aggs)
+
+    out_schema = StructType(
+        [g.schema[group_col]]
+        + [StructField(f"coef_{n}", DoubleType()) for n in names]
+        + [StructField("phase", DoubleType()), StructField("amplitude", DoubleType())]
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        G = np.zeros((m, 4, 4))
+        B = np.zeros((m, 4))
+        for i in range(4):
+            for j in range(i, 4):
+                G[:, i, j] = G[:, j, i] = pdf[f"g_{i}{j}"]
+            B[:, i] = pdf[f"b_{i}"]
+        coef = np.linalg.solve(G, B)
+        out = pd.DataFrame({group_col: pdf[group_col]})
+        for k, n in enumerate(names):
+            out[f"coef_{n}"] = coef[:, k]
+        out["phase"] = np.arctan2(coef[:, 2], coef[:, 3])
+        out["amplitude"] = np.hypot(coef[:, 2], coef[:, 3])
+        return out
+
+    return g.mapInPandas(lambda it: (solve(pdf) for pdf in it if len(pdf)), out_schema)
+
+
+def fractional_year(ts_col: F.Column, epoch_year: int = 2024) -> F.Column:
+    """Time band: fractional years since epoch (reference:
+    src/utils/harmonics.py:63-77 'difference(epoch, year)')."""
+    epoch = F.lit(f"{epoch_year}-01-01 00:00:00").cast("timestamp")
+    return (F.unix_timestamp("ts") - F.unix_timestamp(epoch)) / F.lit(86400.0 * 365.25)

@@ -1,0 +1,125 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline surface (driver requirement). Everything is
+relational — explode → integer hashing → hash-agg / equi-join — so the
+plans scale: MinHash signatures are one shuffle on doc_id, LSH candidate
+generation is an equi-join on (band, band-signature) with skew handled by
+AQE, and Jaccard verification touches only candidate pairs, never the
+quadratic cross product.
+
+Token hashing uses the shared Lehmer arithmetic over a deterministic
+token dictionary (operators.text.token_dictionary) so every number here
+is replayable in ANSI SQL by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as T
+
+M31 = 2147483647
+
+#: (a, b) parameters of the k MinHash permutations h_k(x) = (a·x + b) mod M31.
+MINHASH_PARAMS = [(48271, 1), (69621, 7), (16807, 13), (40692, 29)]
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup summary: total docs vs distinct texts (hash-groupBy)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col(text_col)).alias("n_distinct"),
+    )
+
+
+def doc_token_ids(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, tid) distinct pairs: documents as token-id sets."""
+    tok = T.tokens(df, text_col, id_col).select(id_col, "token").distinct()
+    dic = T.token_dictionary(tok)
+    return tok.join(dic, "token").select(id_col, "tid")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — min over token-set of k Lehmer permutations.
+    One explode + one hash-agg; signature width k is constant."""
+    dt = doc_token_ids(df, text_col, id_col)
+    aggs = [
+        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(M31)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return dt.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, band_size: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH banding over the MinHash signature: pairs agreeing on any band.
+    Bands of `band_size` hashes; equi-join per band on the band tuple,
+    unioned and deduped. Returns (a, b) with a < b."""
+    sig = minhash_signatures(df, text_col, id_col)
+    k = len(MINHASH_PARAMS)
+    pairs = None
+    for b0 in range(0, k, band_size):
+        cols = [f"mh{i}" for i in range(b0, min(b0 + band_size, k))]
+        left = sig.select(F.col(id_col).alias("a"), *cols)
+        right = sig.select(F.col(id_col).alias("b"), *cols)
+        p = left.join(right, on=cols).where(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.0) -> DataFrame:
+    """Token-set Jaccard for candidate pairs (or all pairs if None —
+    test-scale only). Relational: join doc-token sets on tid, count
+    common, sizes from a per-doc agg; J = common/(na+nb-common)."""
+    dt = doc_token_ids(df, text_col, id_col)
+    sizes = dt.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = dt.select(F.col(id_col).alias("a"), "tid")
+    b = dt.select(F.col(id_col).alias("b"), "tid")
+    common = (a.join(b, "tid").where(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
+    if candidates is not None:
+        common = common.join(candidates, ["a", "b"], "left_semi")
+    out = (common
+           .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+           .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+           .select("a", "b",
+                   F.round(F.col("common") /
+                           (F.col("sza") + F.col("szb") - F.col("common")), 4)
+                   .alias("jaccard")))
+    return out.where(F.col("jaccard") >= F.lit(threshold))
+
+
+def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash over token multiset: bit j of the hash is 1 iff the signed
+    sum of token-hash bit-j contributions is positive. Token hash =
+    Lehmer(tid); multiplicity counts (natural frequency weighting)."""
+    tok = T.tokens(df, text_col, id_col).select(id_col, "token")
+    dic = T.token_dictionary(tok.distinct())
+    dt = tok.join(dic, "token").select(
+        id_col, ((F.col("tid") * F.lit(48271)) % F.lit(M31)).alias("h"))
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        contrib = F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))
+        acc = acc + (F.when(F.sum(contrib) > 0, F.lit(1)).otherwise(F.lit(0))
+                     .cast("long") * F.lit(1 << j))
+    return dt.groupBy(id_col).agg(acc.alias("simhash"))
+
+
+def hamming_near_dup_pairs(sig: DataFrame, max_dist: int,
+                           id_col: str = "doc_id",
+                           hash_col: str = "simhash") -> DataFrame:
+    """Pairs within Hamming distance of their simhash (test-scale cross
+    join; at scale, band the hash bits like LSH first)."""
+    a = sig.select(F.col(id_col).alias("a"), F.col(hash_col).alias("ha"))
+    b = sig.select(F.col(id_col).alias("b"), F.col(hash_col).alias("hb"))
+    d = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (a.crossJoin(b).where(F.col("a") < F.col("b"))
+            .where(d <= F.lit(max_dist))
+            .select("a", "b", d.alias("hamming")))

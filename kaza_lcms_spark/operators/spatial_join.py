@@ -103,6 +103,17 @@ def load_polygon_index(polys_df: DataFrame,
     )
 
 
+def load_polygon_index_from_fixture() -> geom.PolygonIndex:
+    """PolygonIndex over the deterministic AOI fixture polygons (in-memory,
+    no parquet round-trip) — the broadcast side of the flagship join."""
+    t = datagen.generate_aoi_polygons()
+    return geom.PolygonIndex(
+        t["unit_id"].to_numpy(),
+        [np.asarray(r) for r in t["ring_xs"].to_pylist()],
+        [np.asarray(r) for r in t["ring_ys"].to_pylist()],
+    )
+
+
 def polygon_cover_cells(index: geom.PolygonIndex, level: int = COARSE_LEVEL) -> np.ndarray:
     """Union of coarse cells intersecting any polygon (driver-side)."""
     cells = [grid.cover_polygon(rx, ry, level)
@@ -225,10 +236,12 @@ def distance_join(points_df: DataFrame, radius_deg: float,
     joined = left.join(right.withColumnRenamed("pid", "pid_b")
                        .withColumnRenamed("px", "px_b").withColumnRenamed("py", "py_b"),
                        on="cell")
-    dist = F.sqrt(F.pow(F.col("px") - F.col("px_b"), 2) + F.pow(F.col("py") - F.col("py_b"), 2))
+    dx = F.col("px") - F.col("px_b")
+    dy = F.col("py") - F.col("py_b")
+    dist2 = dx * dx + dy * dy
     pairs = (joined
              .where(F.col("pid") < F.col("pid_b"))
-             .where(dist <= radius_deg)
+             .where(dist2 <= F.lit(radius_deg) * F.lit(radius_deg))
              .select(F.col("pid").alias("a"), F.col("pid_b").alias("b"))
              .distinct())
     return pairs

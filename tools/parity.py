@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+over the same sf dir; compare row count, column names, and the
+order-insensitive multiset of values (exact equality — mirrors the
+driver's value-hash).
+
+Usage: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from kaza_lcms_spark.session import get_spark
+
+    spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"OK-  {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        issues = []
+        if sorted(scols) != sorted(dcols):
+            issues.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if len(srows) != len(drows):
+            issues.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if not issues:
+            cs, cd = canon(srows, scols), canon(drows, dcols)
+            if cs != cd:
+                bad = sum(1 for a, b in zip(cs, cd) if a != b)
+                for a, b in zip(cs, cd):
+                    if a != b:
+                        issues.append(f"values differ ({bad}/{len(cs)} rows) e.g. {a} vs {b}")
+                        break
+                else:
+                    issues.append("value multiset differs (alignment)")
+        if issues:
+            print(f"FAIL {name}: {'; '.join(issues)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
