@@ -1,0 +1,143 @@
+"""Benchmark harness: headline engine queries, one JSON line to stdout.
+
+Env:
+  SPARK_GRAFT_SF_DIR   driver tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[] (default 32)
+  KAZA_BENCH_IMAGES    synthetic image-corpus size (default 200_000)
+
+The flagship metric (BASELINE.json) is spatial-join + tile-assignment
+throughput in images/sec over the KAZA AOI polygons; `value` is total
+wall seconds of the suite (unit: sec), with per-query seconds under
+"queries" and throughput extras alongside.
+
+Scaling evidence (north rule, two cluster sizes): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and   SPARK_GRAFT_CPUS=32 python bench.py
+on the same input; tools/scaling.py automates both and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("KAZA_BENCH_IMAGES", "200000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from kaza_lcms_spark import datagen
+    from kaza_lcms_spark.session import get_spark
+    from kaza_lcms_spark.operators import knn as KNN
+    from kaza_lcms_spark.operators import spatial_join as SJ
+    from kaza_lcms_spark.operators import dedup as DD
+    from kaza_lcms_spark.operators import composite as C
+    from kaza_lcms_spark.sources import images as IMG
+    import __spark_entry__ as E
+
+    fix_dir = datagen.ensure_fixtures(n_images)
+    spark = get_spark(app_name="kaza-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 32))
+    # warm the JVM and the Python-UDF worker pool (first pandas-UDF stage
+    # pays ~0.5 s/worker of module imports × cpus) so per-query timings
+    # measure the engine, not interpreter startup
+    spark.range(1000).select(F.sum("id")).collect()
+    warm = spark.read.parquet(f"{fix_dir}/images.parquet").limit(2048)
+    widx = SJ.load_polygon_index_from_fixture()
+    SJ.zonal_stats(SJ.assign_images_fused(spark, warm.repartition(cpus), widx)).collect()
+    IMG.decode_stats(warm).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    repeat = int(os.environ.get("KAZA_BENCH_REPEAT", "2"))
+
+    def bench(name, fn):
+        best, out = float("inf"), None
+        for _ in range(repeat):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        return out
+
+    imgs = spark.read.parquet(f"{fix_dir}/images.parquet")
+    idx = SJ.load_polygon_index_from_fixture()
+
+    # 1. flagship: tile assignment (footprint -> cell -> prefilter -> PIP)
+    #    + zonal, on a generated N_FLAG-row id set — pure join work (the
+    #    metric is join throughput; the scan path is benched separately)
+    n_flag = int(os.environ.get("KAZA_BENCH_FLAG_IMAGES", "5000000"))
+    ids_df = (spark.range(n_flag).repartition(cpus * 3)
+              .select(F.format_string("img_%012d", F.col("id")).alias("image_id")))
+
+    def flagship():
+        return SJ.zonal_counts_fused(spark, ids_df, idx).collect()
+
+    z = bench("tile_assign_images", flagship)
+    n_assigned = sum(r["n"] for r in z)
+    extras["images_per_sec"] = round(n_flag / timings["tile_assign_images"], 1)
+    extras["images_assigned"] = n_assigned
+    extras["n_flag_images"] = n_flag
+
+    # 1b. corpus-scan variant: same join reading the contract-shaped table
+    def flagship_corpus():
+        a = SJ.assign_images_fused(spark, imgs, idx)
+        return SJ.zonal_stats(a).collect()
+
+    bench("tile_assign_corpus", flagship_corpus)
+    extras["corpus_images_per_sec"] = round(n_images / timings["tile_assign_corpus"], 1)
+
+    # 2. full binary decode sweep (Arrow batch + numpy codec throughput)
+    def decode():
+        return IMG.decode_stats(imgs).agg(
+            F.count(F.lit(1)), F.avg("mean_px")).collect()
+
+    bench("decode_images", decode)
+    extras["decode_images_per_sec"] = round(n_images / timings["decode_images"], 1)
+
+    # 3. per-cell phash kNN (north-star caption-neighbor op) on a skewed grid
+    def knn_cell():
+        pts = SJ.with_cell(SJ.with_footprint(imgs.select("image_id", "phash")),
+                           level=10)
+        return KNN.knn_per_cell(pts, k=5).count()
+
+    extras["knn_pairs"] = bench("knn_per_cell_phash", knn_cell)
+
+    # 4. distance self-join on derived points at SF (shuffle + halo replicate)
+    def dist():
+        return E.q_distance_pairs(spark, sf_dir).count()
+
+    extras["distance_pairs"] = bench("distance_pairs", dist)
+
+    # 5. percentile composite over lineitem at SF (hash-agg shuffle)
+    bench("pct_composite", lambda: E.q_pct_composite(spark, sf_dir).collect())
+
+    # 6. minhash signatures over documents (explode + dictionary + agg)
+    bench("minhash", lambda: E.q_minhash_signatures(spark, sf_dir).count())
+
+    # 7. blocked cosine top-k over embeddings (broadcast matmul)
+    bench("ann_topk", lambda: E.q_cosine_topk_blocked(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kaza_headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_images,
+        "cpus": cpus,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,15 +40,25 @@ def _rle_encode(data: bytes) -> bytes:
     change = np.flatnonzero(np.diff(a)) + 1
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(a)]])
-    out = bytearray()
-    for s, e in zip(starts, ends):
-        run = int(e - s)
-        v = int(a[s])
-        while run > 255:
-            out += bytes((255, v))
-            run -= 255
-        out += bytes((run, v))
-    return bytes(out)
+    runs = ends - starts
+    vals = a[starts]
+    if runs.max() > 255:
+        # split long runs into k×255 + remainder chunks, fully vectorized
+        n_full = runs // 255
+        rem = runs % 255
+        reps = n_full + (rem > 0)
+        vals_out = np.repeat(vals, reps)
+        counts = np.full(int(reps.sum()), 255, dtype=np.uint8)
+        last = np.cumsum(reps) - 1
+        has_rem = rem > 0
+        counts[last[has_rem]] = rem[has_rem]
+    else:
+        counts = runs.astype(np.uint8)
+        vals_out = vals
+    out = np.empty(counts.size * 2, dtype=np.uint8)
+    out[0::2] = counts
+    out[1::2] = vals_out
+    return out.tobytes()
 
 
 def _rle_decode(data: bytes) -> np.ndarray:
@@ -114,6 +124,20 @@ def phash64(pixels: np.ndarray) -> int:
     for b in bits:
         v = (v << np.uint64(1)) | np.uint64(bool(b))
     return int(v.astype(np.int64))
+
+
+def phash64_batch(px: np.ndarray) -> np.ndarray:
+    """Vectorized phash64 over a (n, h, w) stack (h, w divisible by 8).
+    Bit-identical to the scalar phash64 (tested)."""
+    n, h, w = px.shape
+    # mean with dtype=f8 accumulates in float64 without materializing a
+    # float64 copy of the stack (bandwidth-bound kernel)
+    small = px.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4), dtype=np.float64)
+    flat = small.reshape(n, 64)
+    med = np.median(flat, axis=1)
+    bits = (flat > med[:, None]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return (bits * weights[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
 
 
 def hamming64(a, b) -> np.ndarray:

@@ -131,21 +131,23 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
             return pd.DataFrame({id_col: [], "neighbor_id": [], "hamming": []})
         ids = pdf[id_col].to_numpy()
         h = pdf[hash_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")  # id-ordered for tie-break
+        ids, h = ids[order], h[order]
         kk = min(k, n - 1)
         outs = []
-        block = max(1, salt_threshold // max(n, 1)) * 256
+        block = max(256, salt_threshold * 400 // max(n, 1))
         for s in range(0, n, block):
             e = min(n, s + block)
             d = codec.hamming64(h[s:e, None], h[None, :])  # (b, n)
-            for r in range(e - s):
-                d[r, s + r] = 1 << 30
-            part = np.argpartition(d, kk, axis=1)[:, : kk + 4]
-            for r in range(e - s):
-                cand = part[r]
-                cand = cand[np.lexsort((ids[cand], d[r, cand]))][:kk]
-                outs.append(pd.DataFrame({
-                    id_col: ids[s + r], "neighbor_id": ids[cand],
-                    "hamming": d[r, cand]}))
+            d[np.arange(e - s), np.arange(s, e)] = 1 << 30  # exclude self
+            # stable argsort on distance + id-sorted columns ≡ (dist, id) order
+            take = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            rows = np.arange(s, e)
+            outs.append(pd.DataFrame({
+                id_col: np.repeat(ids[rows], kk),
+                "neighbor_id": ids[take].ravel(),
+                "hamming": np.take_along_axis(d, take, axis=1).ravel(),
+            }))
         return pd.concat(outs)
 
     return points.groupBy(cell_col).applyInPandas(per_cell, out_schema)

