@@ -446,12 +446,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, event_type,
                        ROW_NUMBER() OVER (
                            PARTITION BY event_type
-                           ORDER BY (event_id * 48271) % {M31} ASC, event_id ASC) AS rn
+                           ORDER BY {D.detrand_sql('event_id')} ASC, event_id ASC) AS rn
                 FROM events) WHERE rn <= 50
         """,
         "split_counts": f"""
             SELECT o_orderstatus,
-                   CASE WHEN ((o_orderkey * 69621) % {M31}) / 2147483647.0 < 0.8
+                   CASE WHEN {D.detrand_unit_sql('o_orderkey', 69621)} < 0.8
                         THEN 'train' ELSE 'test' END AS split,
                    COUNT(*) AS n
             FROM orders GROUP BY 1, 2

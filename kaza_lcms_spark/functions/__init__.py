@@ -14,18 +14,27 @@ from pyspark.sql import functions as F
 M31 = 2147483647
 
 
-def detrand(key: Column, mult: int = 48271) -> Column:
-    """Deterministic U[0,1) from an integer key column — the engine's
-    randomColumn(seed) analog (reference:
+def detrand_int(key: Column, mult: int = 48271, mult2: int = 69621) -> Column:
+    """Deterministic positive int in [0, 2^31-1) from an integer key —
+    the engine's randomColumn(seed) analog (reference:
     /root/reference/src/utils/sampling.py:104,153,188). Unlike F.rand,
     the value is a pure function of the key: stable across partitionings,
-    retries, and cluster sizes. Lehmer mod 2^31-1, all JVM-side."""
-    return (key * F.lit(mult)) % F.lit(M31) / F.lit(float(M31))
+    retries, and cluster sizes.
+
+    Quadratic congruential mix (h1=affine, h2=h1² mod p, h3=affine of
+    both): a single Lehmer step is affine, so *consecutive* keys map to
+    near-identical values — useless for thresholds/top-k over sequential
+    ids. The squaring step is the cheapest nonlinearity expressible in
+    both Spark SQL and ANSI SQL without 64-bit overflow ((p-1)² < 2⁶³).
+    All JVM-side; replayable by plans.derived.detrand_sql."""
+    h1 = (key * F.lit(mult) + F.lit(11)) % F.lit(M31)
+    h2 = (h1 * h1) % F.lit(M31)
+    return (h2 * F.lit(mult2) + h1) % F.lit(M31)
 
 
-def detrand_int(key: Column, mult: int = 48271) -> Column:
-    """Deterministic positive int in [0, 2^31-1) from an integer key."""
-    return (key * F.lit(mult)) % F.lit(M31)
+def detrand(key: Column, mult: int = 48271, mult2: int = 69621) -> Column:
+    """Deterministic U[0,1) from an integer key column (see detrand_int)."""
+    return detrand_int(key, mult, mult2) / F.lit(float(M31))
 
 
 def normalized_difference(a: Column, b: Column) -> Column:

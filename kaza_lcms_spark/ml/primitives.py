@@ -1,0 +1,145 @@
+"""Per-class Random-Forest "primitives" + argmax assemblage + accuracy.
+
+Re-grounds the reference's modeling stage (sig-gis/kaza-lcms):
+
+* ``RFprim`` — one binary probability RF per land-cover class:
+  ``smileRandomForest(numberOfTrees=100, minLeafPopulation=1,
+  bagFraction=0.7, seed=51515).setOutputMode('PROBABILITY')``
+  (/root/reference/src/utils/primitives.py:69-79) →
+  ``pyspark.ml.classification.RandomForestClassifier(numTrees=100,
+  minInstancesPerNode=1, subsamplingRate=0.7, seed=51515)``.
+* ``format_pts`` binary relabel (/root/reference/src/utils/primitives.py:5-16).
+* Top-20 importance feature selection + retrain
+  (/root/reference/src/utils/primitives.py:49-59,86-92).
+* OOB error (/root/reference/src/utils/primitives.py:82) has no exact
+  MLlib twin — re-grounded as held-out-split error, documented deviation
+  (SURVEY.md §2.9 M2).
+* ``maxProbClassifyFromImageCollection`` argmax assemblage
+  (/root/reference/src/utils/assemblage.py:12-25): probability argmax + 1,
+  first-max-wins tie-break.
+* Confusion matrix / producer's / user's accuracy
+  (/root/reference/src/misc/05accuracy.py:89-133).
+
+Scale notes: each class's fit is an independent Spark job over the same
+training table (cache it once); inference is a narrow map (model broadcast
+by MLlib transform). The assemblage pivot groups by cell — one shuffle,
+partial-combined. Nothing here is per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import RandomForestClassificationModel, RandomForestClassifier
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RF_SEED = 51515  # reference seed, src/utils/primitives.py:74
+RF_TREES = 100
+RF_BAG_FRACTION = 0.7
+
+
+def format_pts(pts: DataFrame, class_value: int,
+               label_col: str = "LANDCOVER") -> DataFrame:
+    """Binary relabel: PRIM=1 where LANDCOVER==class_value else 0
+    (reference src/utils/primitives.py:5-16)."""
+    return pts.withColumn(
+        "PRIM", (F.col(label_col) == F.lit(class_value)).cast("double"))
+
+
+def fit_rf_prim(train: DataFrame, feature_cols: list[str],
+                label_col: str = "PRIM",
+                n_trees: int = RF_TREES,
+                top_k_features: int | None = 20,
+                seed: int = RF_SEED) -> tuple[RandomForestClassificationModel, list[str]]:
+    """Train a binary probability RF; optionally re-train on the top-k
+    features by importance (reference src/utils/primitives.py:49-92).
+    Returns (model, used_feature_cols)."""
+    asm = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    rf = RandomForestClassifier(
+        labelCol=label_col, featuresCol="features", numTrees=n_trees,
+        minInstancesPerNode=1, subsamplingRate=RF_BAG_FRACTION, seed=seed)
+    model = rf.fit(asm.transform(train))
+    used = feature_cols
+    if top_k_features is not None and len(feature_cols) > top_k_features:
+        imp = model.featureImportances.toArray()
+        order = sorted(range(len(feature_cols)), key=lambda i: -imp[i])
+        used = [feature_cols[i] for i in order[:top_k_features]]
+        asm = VectorAssembler(inputCols=used, outputCol="features")
+        model = rf.fit(asm.transform(train))
+    return model, used
+
+
+def predict_prob(model: RandomForestClassificationModel, cells: DataFrame,
+                 feature_cols: list[str], out_col: str = "Probability") -> DataFrame:
+    """Per-cell P(class=1) (reference 'classify' with PROBABILITY output,
+    src/utils/primitives.py:97). MLlib broadcasts the model; the transform
+    is a narrow map over the cell table."""
+    asm = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    out = model.transform(asm.transform(cells))
+    # select (not drop): Spark column resolution is case-insensitive, so
+    # dropping "probability" would also drop the new out_col
+    return out.select(*cells.columns,
+                      vector_to_array(F.col("probability"))[1].alias(out_col))
+
+
+def primitives_to_collection(train: DataFrame, cells: DataFrame,
+                             feature_cols: list[str],
+                             classes: list[int] | None = None,
+                             label_col: str = "LANDCOVER",
+                             key_col: str = "cell_id") -> DataFrame:
+    """One binary RF per class; union of per-class probability tables
+    (cell_id, class, prob) — the reference's primitives ImageCollection
+    (src/utils/primitives.py:100-151). Fits run sequentially on the driver
+    (independent Spark jobs); the train table should be cached upstream."""
+    if classes is None:
+        classes = [r[0] for r in
+                   train.select(label_col).distinct().orderBy(label_col).collect()]
+    out = None
+    for c in classes:
+        model, used = fit_rf_prim(format_pts(train, c, label_col), feature_cols)
+        probs = predict_prob(model, cells, used).select(
+            key_col, F.lit(int(c)).alias("class"), F.col("Probability").alias("prob"))
+        out = probs if out is None else out.unionByName(probs)
+    return out
+
+
+def assemble_max_prob(prims: DataFrame, key_col: str = "cell_id") -> DataFrame:
+    """Argmax assemblage: per cell, the class with max probability; ties →
+    lowest class (reference arrayArgmax takes the first maximum,
+    src/utils/assemblage.py:12-20)."""
+    w = Window.partitionBy(key_col).orderBy(F.col("prob").desc(), F.col("class").asc())
+    return (prims.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(key_col, F.col("class").alias("LANDCOVER"),
+                    F.col("prob").alias("max_prob")))
+
+
+def confusion_matrix(scored: DataFrame, true_col: str = "LANDCOVER",
+                     pred_col: str = "pred") -> DataFrame:
+    """(true, pred, n) counts (reference src/misc/05accuracy.py:89)."""
+    return (scored.groupBy(F.col(true_col).alias("true_label"),
+                           F.col(pred_col).alias("pred_label"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def class_accuracies(cm: DataFrame) -> DataFrame:
+    """Producer's/user's accuracy per class = 100 − omission/commission
+    (reference src/misc/05accuracy.py:100-133)."""
+    diag = cm.where(F.col("true_label") == F.col("pred_label")) \
+             .select(F.col("true_label").alias("label"), F.col("n").alias("d"))
+    rows = cm.groupBy(F.col("true_label").alias("label")).agg(F.sum("n").alias("rt"))
+    cols = cm.groupBy(F.col("pred_label").alias("label")).agg(F.sum("n").alias("ct"))
+    return (rows.join(cols, "label", "outer").join(diag, "label", "left")
+            .fillna(0, ["d"])
+            .select("label",
+                    (F.col("d") / F.col("rt")).alias("producers_acc"),
+                    (F.col("d") / F.col("ct")).alias("users_acc")))
+
+
+def overall_accuracy(cm: DataFrame) -> float:
+    row = cm.agg(
+        F.sum(F.when(F.col("true_label") == F.col("pred_label"), F.col("n"))
+              .otherwise(F.lit(0))).alias("d"),
+        F.sum("n").alias("t")).collect()[0]
+    return row["d"] / row["t"]

@@ -21,8 +21,23 @@ M31 = 2147483647
 
 
 def lehmer(key: str, mult: int = 48271) -> str:
-    """Uniform-ish positive integer in [0, 2^31-1) from an integer key."""
+    """Affine congruential step — fine for decorrelating *distant* keys
+    (point derivation below), NOT for thresholds over sequential ids
+    (use detrand_sql, which adds a quadratic mix)."""
     return f"(({key}) * {mult}) % {M31}"
+
+
+def detrand_sql(key: str, mult: int = 48271, mult2: int = 69621) -> str:
+    """Deterministic int in [0, 2^31-1): quadratic congruential mix,
+    bit-identical to functions.detrand_int (see its docstring)."""
+    h1 = f"((({key}) * {mult} + 11) % {M31})"
+    h2 = f"(({h1} * {h1}) % {M31})"
+    return f"(({h2} * {mult2} + {h1}) % {M31})"
+
+
+def detrand_unit_sql(key: str, mult: int = 48271, mult2: int = 69621) -> str:
+    """Deterministic U[0,1): detrand_sql / 2^31-1 in double."""
+    return f"({detrand_sql(key, mult, mult2)} / CAST(2147483647.0 AS DOUBLE))"
 
 
 def lon_sql(key: str) -> str:

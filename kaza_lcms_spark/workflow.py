@@ -1,0 +1,104 @@
+"""End-to-end KAZA land-cover workflow, re-grounded Spark-first.
+
+Mirrors the reference's five pipeline stages (ProjectWorkflow.md:3-10):
+
+  00sample_pts   → sample_points()           (stratified pixel sample)
+  02train_test   → train_test_from_polygons() (points in labeled polygons
+                                               + band extraction + split)
+  03RFprimitives → ml.primitives.primitives_to_collection()
+  04generate_LC  → ml.primitives.assemble_max_prob()
+  05accuracy     → score_accuracy()
+
+(01composite_s2's feature building is operators/composite.py; here the
+landcover_cells fixture already carries covariate bands.)
+
+Scale shape: the only shuffles are (a) the per-class window top-k in
+sampling (keyed by class — ≤8 reducers of partial-sorted streams), (b)
+the cell-keyed extraction equi-join, (c) the assemblage window keyed by
+cell. Everything else is narrow or a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels import grid
+from .ml import primitives as P
+from .operators import sampling as S
+from .operators import spatial_join as SJ
+
+BAND_COLS = ["blue", "green", "red", "nir", "swir1", "swir2"]
+
+
+def sample_points(lc_cells: DataFrame, n_per_class: int | dict,
+                  label_col: str = "LANDCOVER",
+                  key_col: str = "cell_id") -> DataFrame:
+    """00sample_pts: stratified random sample from the categorical cell
+    table, CEO-formatted (reference src/00sample_pts.py:184-208 →
+    stratifiedSample src/utils/sampling.py:163-182). Exact per-class
+    counts, deterministic in the cell id."""
+    s = S.stratified_topk(lc_cells.where(F.col(label_col).isNotNull()),
+                          label_col, key_col, n_per_class)
+    return s.select(key_col, label_col, "lon", "lat")
+
+
+def train_test_from_polygons(spark: SparkSession, ref_polys: DataFrame,
+                             lc_cells: DataFrame, n_per_class: int,
+                             oversample: int = 2, lc_level: int = 12,
+                             label_col: str = "LANDCOVER") -> tuple[DataFrame, DataFrame]:
+    """02train_test: random points inside labeled reference polygons,
+    band extraction at each point's cell, exact per-class top-k, 80/20
+    split (reference strat_sample_w_extraction,
+    src/utils/sampling.py:115-159 + split :184-193).
+
+    The raster×vector extraction join (J4) is an equi-join on cell_id —
+    point cells computed by the vectorized encoder; the cell table side is
+    already keyed. At 10¹² cells both sides shuffle on cell_id; at fixture
+    scale Catalyst broadcasts the points."""
+    pts = S.random_points_in_polygons(ref_polys, n_per_class * oversample)
+    pts = pts.join(ref_polys.select("unit_id", label_col), "unit_id")
+    pts = SJ.with_cell(pts, lc_level)
+    pts = pts.withColumn(
+        "pt_key", (F.col("unit_id").cast("long") * F.lit(1 << 20)) + F.col("pt_seq"))
+    extracted = pts.join(
+        lc_cells.select("cell_id", *BAND_COLS), "cell_id", "inner")
+    sampled = S.stratified_topk(extracted, label_col, "pt_key", n_per_class)
+    train, test = S.train_test_split(sampled, "pt_key", 0.8)
+    return train, test
+
+
+def build_landcover(spark: SparkSession, train: DataFrame, lc_cells: DataFrame,
+                    classes: list[int] | None = None) -> DataFrame:
+    """03RFprimitives + 04generate_LC: per-class probability primitives →
+    argmax assemblage → (cell_id, LANDCOVER, max_prob)."""
+    train = train.cache()
+    prims = P.primitives_to_collection(train, lc_cells, BAND_COLS, classes)
+    return P.assemble_max_prob(prims)
+
+
+def score_accuracy(predicted: DataFrame, test: DataFrame) -> tuple[DataFrame, float]:
+    """05accuracy: confusion matrix + per-class accuracies on test points
+    (reference src/misc/05accuracy.py:66-133)."""
+    scored = (test.select("cell_id", "LANDCOVER")
+              .join(predicted.select("cell_id",
+                                     F.col("LANDCOVER").alias("pred")), "cell_id"))
+    cm = P.confusion_matrix(scored)
+    return P.class_accuracies(cm), P.overall_accuracy(cm)
+
+
+def run_full_pipeline(spark: SparkSession, fixture_dir: str,
+                      n_per_class: int = 60) -> dict:
+    """The whole reference workflow on fixtures; returns summary metrics."""
+    lc = spark.read.parquet(f"{fixture_dir}/landcover_cells.parquet")
+    refp = spark.read.parquet(f"{fixture_dir}/ref_polygons.parquet")
+    train, test = train_test_from_polygons(spark, refp, lc, n_per_class)
+    train = train.cache(); test = test.cache()
+    landcover = build_landcover(spark, train, lc).cache()
+    accs, overall = score_accuracy(landcover, test)
+    return {
+        "n_train": train.count(), "n_test": test.count(),
+        "n_cells": landcover.count(), "overall_acc": overall,
+        "class_acc": {r["label"]: (r["producers_acc"], r["users_acc"])
+                      for r in accs.collect()},
+    }

@@ -1,0 +1,75 @@
+"""End-to-end KAZA workflow tests (reference parity, SURVEY.md §5.3):
+stratified sample counts exact per class, split proportions sane,
+assemblage argmax equals numpy argmax, accuracy beats chance.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kaza_lcms_spark import workflow as W
+from kaza_lcms_spark.ml import primitives as P
+from kaza_lcms_spark.operators import sampling as S
+
+
+@pytest.fixture(scope="module")
+def lc(spark, fixture_dir):
+    return spark.read.parquet(f"{fixture_dir}/landcover_cells.parquet").cache()
+
+
+def test_stratified_sample_exact_counts(spark, lc):
+    """stratifiedSample semantics: exactly classPoints per class, fixed
+    seed (reference src/utils/sampling.py:163-182, seed=90210)."""
+    pts = W.sample_points(lc, {1: 10, 2: 25, 3: 5, 4: 40, 5: 10, 6: 10, 7: 10, 8: 10})
+    counts = {r["LANDCOVER"]: r["n"] for r in
+              pts.groupBy("LANDCOVER").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 10, 2: 25, 3: 5, 4: 40, 5: 10, 6: 10, 7: 10, 8: 10}
+
+
+def test_stratified_sample_partitioning_invariant(spark, lc):
+    a = sorted(r["cell_id"] for r in W.sample_points(lc, 20).collect())
+    b = sorted(r["cell_id"] for r in W.sample_points(lc.repartition(13), 20).collect())
+    assert a == b
+
+
+def test_train_test_extraction_and_split(spark, fixture_dir, lc):
+    refp = spark.read.parquet(f"{fixture_dir}/ref_polygons.parquet")
+    train, test = W.train_test_from_polygons(spark, refp, lc, 40)
+    nt, ns = train.count(), test.count()
+    assert nt + ns == 40 * 8
+    frac = nt / (nt + ns)
+    assert 0.7 < frac < 0.9, f"split fraction {frac} not ~0.8"
+    # extracted band columns present and non-null
+    row = train.first()
+    for b in W.BAND_COLS:
+        assert row[b] is not None
+
+
+def test_assemblage_argmax_matches_numpy(spark):
+    rows = []
+    rng = np.random.default_rng(3)
+    for cid in range(200):
+        for cls in range(1, 6):
+            rows.append((cid, cls, float(rng.random())))
+    prims = spark.createDataFrame(rows, "cell_id long, class int, prob double")
+    got = {r["cell_id"]: r["LANDCOVER"] for r in P.assemble_max_prob(prims).collect()}
+    arr = np.array([p for _, _, p in rows]).reshape(200, 5)
+    for cid in range(200):
+        assert got[cid] == int(np.argmax(arr[cid])) + 1
+
+
+def test_full_pipeline_accuracy(spark, fixture_dir):
+    res = W.run_full_pipeline(spark, fixture_dir, n_per_class=40)
+    assert res["n_cells"] > 0
+    assert res["overall_acc"] > 0.3, "RF primitives should beat 1/8 chance easily"
+    assert set(res["class_acc"]) == set(range(1, 9))
+
+
+def test_confusion_matrix_math(spark):
+    rows = [(1, 1, 10), (1, 2, 5), (2, 2, 20), (2, 1, 5)]
+    cm = spark.createDataFrame(rows, "true_label int, pred_label int, n long")
+    acc = {r["label"]: (r["producers_acc"], r["users_acc"])
+           for r in P.class_accuracies(cm).collect()}
+    assert acc[1] == (10 / 15, 10 / 15)
+    assert acc[2] == (20 / 25, 20 / 25)
+    assert P.overall_accuracy(cm) == 30 / 40
