@@ -114,6 +114,66 @@ def q_focal_neighbor_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.join(nbr, ["ix", "iy"]).select("ix", "iy", "n", "nbr_sum")
 
 
+def _grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived 32×32 cell grid: count + binary mask + pseudo-DEM."""
+    pts = _points(spark, sf_dir)
+    return (pts.selectExpr(
+        "CAST(FLOOR((lon - 18.0) / 9.0 * 32.0) AS BIGINT) AS ix",
+        "CAST(FLOOR((lat + 20.5) / 7.0 * 32.0) AS BIGINT) AS iy")
+        .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n"))
+        .select("ix", "iy", "n",
+                (F.col("n") >= 12).cast("int").alias("m"),
+                F.col("n").cast("double").alias("z")))
+
+
+_GRID_SQL = f"""
+    SELECT ix, iy, COUNT(*) AS n,
+           CAST(COUNT(*) >= 12 AS INT) AS m,
+           CAST(COUNT(*) AS DOUBLE) AS z
+    FROM (SELECT CAST(FLOOR((lon - 18.0) / 9.0 * 32.0) AS BIGINT) AS ix,
+                 CAST(FLOOR((lat + 20.5) / 7.0 * 32.0) AS BIGINT) AS iy
+          FROM pts)
+    GROUP BY ix, iy
+"""
+
+
+def q_focal_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: binary erosion+dilation (focal_min/focal_max cloud-mask
+    morphology, /root/reference/src/utils/s2process.py:84-88)."""
+    from kaza_lcms_spark.operators import focal as FO
+    cells = _grid_cells(spark, sf_dir)
+    er = FO.erode(cells, "m").select("ix", "iy", F.col("m").alias("eroded"))
+    di = FO.dilate(cells, "m").select("ix", "iy", F.col("m").alias("dilated"))
+    return er.join(di, ["ix", "iy"])
+
+
+def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: slope/aspect/eastness/northness by central differences
+    (/root/reference/src/utils/covariates.py:209-223)."""
+    from kaza_lcms_spark.operators import focal as FO
+    out = FO.slope_aspect(_grid_cells(spark, sf_dir), "z")
+    return out.select("ix", "iy",
+                      F.round("slope", 6).alias("slope"),
+                      F.round("eastness", 6).alias("eastness"),
+                      F.round("northness", 6).alias("northness"))
+
+
+def q_lee_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: Lee speckle filter = focal stats + piecewise blend
+    (/root/reference/src/misc/sentinel1.py:165-205)."""
+    from kaza_lcms_spark.operators import focal as FO
+    out = FO.lee_speckle(_grid_cells(spark, sf_dir), "z")
+    return out.select("ix", "iy", F.round("z_lee", 6).alias("z_lee"))
+
+
+def q_shadow_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: directional distance transform (cloud-shadow projection,
+    /root/reference/src/utils/s2process.py:58-65)."""
+    from kaza_lcms_spark.operators import focal as FO
+    return FO.directional_transform(_grid_cells(spark, sf_dir), "m", 1, -1, 4) \
+        .select("ix", "iy", "shadow")
+
+
 def q_ceo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9: CEO export formatting (/root/reference/src/00sample_pts.py:30-46)."""
     pts = _points(spark, sf_dir, limit_mod=40)
@@ -341,6 +401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landcover_zonal": q_landcover_zonal,
         "distance_pairs": q_distance_pairs,
         "focal_neighbor_sum": q_focal_neighbor_sum,
+        "focal_morphology": q_focal_morphology,
+        "slope_aspect": q_slope_aspect,
+        "lee_filter": q_lee_filter,
+        "shadow_project": q_shadow_project,
         "ceo_format": q_ceo_format,
         "stratified_sample": q_stratified_sample,
         "split_counts": q_split_counts,
@@ -433,6 +497,66 @@ def oracle_sql() -> dict[str, str]:
               ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
              AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
             GROUP BY a.ix, a.iy, a.n
+        """,
+        "focal_morphology": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            cells AS ({_GRID_SQL}),
+            nbr AS (
+                SELECT a.ix, a.iy, SUM(b.m) AS sm, COUNT(*) AS cn
+                FROM cells a JOIN cells b
+                  ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+                 AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+                GROUP BY a.ix, a.iy)
+            SELECT ix, iy,
+                   CAST(sm >= 9 AND cn = 9 AS INT) AS eroded,
+                   CAST(sm > 0 AS INT) AS dilated
+            FROM nbr
+        """,
+        "slope_aspect": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            cells AS ({_GRID_SQL}),
+            g AS (
+                SELECT a.ix, a.iy, a.z,
+                       (COALESCE(e.z, a.z) - COALESCE(w.z, a.z)) / 2.0 AS dzdx,
+                       (COALESCE(n.z, a.z) - COALESCE(s.z, a.z)) / 2.0 AS dzdy
+                FROM cells a
+                LEFT JOIN cells e ON e.ix = a.ix + 1 AND e.iy = a.iy
+                LEFT JOIN cells w ON w.ix = a.ix - 1 AND w.iy = a.iy
+                LEFT JOIN cells n ON n.ix = a.ix AND n.iy = a.iy + 1
+                LEFT JOIN cells s ON s.ix = a.ix AND s.iy = a.iy - 1)
+            SELECT ix, iy,
+                   ROUND(ATAN(SQRT(dzdx * dzdx + dzdy * dzdy)), 6) AS slope,
+                   ROUND(SIN(CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 0.0
+                             ELSE ATAN2(dzdy, -dzdx) END), 6) AS eastness,
+                   ROUND(COS(CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 0.0
+                             ELSE ATAN2(dzdy, -dzdx) END), 6) AS northness
+            FROM g
+        """,
+        "lee_filter": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            cells AS ({_GRID_SQL}),
+            f AS (
+                SELECT a.ix, a.iy, a.z,
+                       AVG(b.z) AS fm, COALESCE(VAR_SAMP(b.z), 0.0) AS fv
+                FROM cells a JOIN cells b
+                  ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+                 AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+                GROUP BY a.ix, a.iy, a.z)
+            SELECT ix, iy,
+                   ROUND(fm + (fv / (fv + fm * fm * {0.523**2!r} + 1e-12)) * (z - fm), 6)
+                       AS z_lee
+            FROM f
+        """,
+        "shadow_project": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            cells AS ({_GRID_SQL})
+            SELECT a.ix, a.iy,
+                   CAST(EXISTS (
+                       SELECT 1 FROM cells b
+                       WHERE b.m = 1
+                         AND b.iy - a.iy = a.ix - b.ix
+                         AND a.ix - b.ix BETWEEN 1 AND 4) AS INT) AS shadow
+            FROM cells a
         """,
         "ceo_format": f"""
             WITH pts AS ({_POINTS40_SQL})

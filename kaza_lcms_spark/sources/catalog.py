@@ -1,0 +1,156 @@
+"""Iceberg-style catalog: snapshot manifests, per-partition lineage,
+resumable writes.
+
+Re-grounds the reference's asset store + async export tasks
+(sig-gis/kaza-lcms: ``ee.batch.Export.*`` at src/utils/exports.py:6-46,
+existence checks at src/utils/check_exists.py:4-9, collection DDL via
+``earthengine create collection`` at src/utils/primitives.py:118) as the
+north rule requires: **every stage checkpoints per-partition lineage and
+metrics so runs resume mid-tiling**.
+
+No Iceberg runtime jars exist in this sandbox (SURVEY.md §7), so the
+layer provides the same guarantees over plain parquet:
+
+* a table = data files + a JSON **snapshot manifest** naming exactly the
+  committed files (readers never see uncommitted/partial output);
+* **atomic commit** = write data files → write snapshot-N.json → rename
+  a pointer file (POSIX rename atomicity);
+* **per-partition lineage**: each committed partition records row count,
+  wall seconds, and wrote-at timestamp — the resume set and the metrics
+  sink (S13) in one structure;
+* **resume**: a re-run lists pending = requested − committed partitions
+  and processes only those; a crashed run's partial files are absent from
+  the manifest and invisible to readers.
+
+Swapping in real Iceberg is mechanical: manifest → Iceberg snapshot,
+pointer rename → catalog commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Lineage:
+    partition: str
+    n_rows: int
+    wall_s: float
+    ts: float
+    files: list[str] = field(default_factory=list)
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ----------------------------------------------------------- metadata
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "metadata", "CURRENT")
+
+    def table_exists(self, name: str) -> bool:
+        """S8: the reference's check_exists (getAsset -> 0/1)."""
+        return os.path.exists(self._pointer(name))
+
+    def create_table(self, name: str) -> None:
+        """S9: collection/folder DDL."""
+        os.makedirs(os.path.join(self._tdir(name), "data"), exist_ok=True)
+        os.makedirs(os.path.join(self._tdir(name), "metadata"), exist_ok=True)
+
+    def _read_manifest(self, name: str) -> dict:
+        if not self.table_exists(name):
+            return {"snapshot": 0, "partitions": {}}
+        with open(self._pointer(name)) as f:
+            current = f.read().strip()
+        with open(os.path.join(self._tdir(name), "metadata", current)) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, manifest: dict) -> None:
+        """Atomic snapshot commit: write snapshot-N.json, then rename a
+        temp pointer onto CURRENT (atomic on POSIX)."""
+        mdir = os.path.join(self._tdir(name), "metadata")
+        snap = f"snapshot-{manifest['snapshot']}.json"
+        with open(os.path.join(mdir, snap), "w") as f:
+            json.dump(manifest, f)
+        tmp = os.path.join(mdir, f".ptr-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(snap)
+        os.replace(tmp, self._pointer(name))
+
+    # ------------------------------------------------------------- reads
+
+    def committed_partitions(self, name: str) -> set[str]:
+        return set(self._read_manifest(name)["partitions"])
+
+    def lineage(self, name: str) -> list[Lineage]:
+        m = self._read_manifest(name)
+        return [Lineage(partition=k, **{kk: vv for kk, vv in v.items()})
+                for k, v in sorted(m["partitions"].items())]
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read exactly the committed files (partial/aborted writes are
+        invisible — they are not in the manifest)."""
+        m = self._read_manifest(name)
+        files = [f for p in m["partitions"].values() for f in p["files"]]
+        if not files:
+            raise ValueError(f"table {name} has no committed data")
+        return spark.read.parquet(*files)
+
+    # ------------------------------------------------------------ writes
+
+    def write_partitioned(self, spark: SparkSession, df: DataFrame, name: str,
+                          partition_col: str,
+                          partitions_per_commit: int = 4,
+                          fail_after: int | None = None) -> dict:
+        """Resumable partitioned write with per-partition lineage.
+
+        Plans the pending set (requested − committed), processes it in
+        commit groups, and snapshots after each group — a crash loses at
+        most one uncommitted group; a re-run skips everything committed.
+        ``fail_after`` injects a crash after N commits (tests).
+
+        Scale note: the per-group filter is partition-pruned by Catalyst
+        (IN-list on the partition column); on a real cluster each group
+        is one job over only its partitions' input.
+        """
+        self.create_table(name)
+        committed = self.committed_partitions(name)
+        want = [str(r[0]) for r in
+                df.select(partition_col).distinct().orderBy(partition_col).collect()]
+        pending = [p for p in want if p not in committed]
+        ddir = os.path.join(self._tdir(name), "data")
+        n_commits = 0
+        for g0 in range(0, len(pending), partitions_per_commit):
+            group = pending[g0:g0 + partitions_per_commit]
+            manifest = self._read_manifest(name)
+            for p in group:
+                t0 = time.time()
+                out = os.path.join(ddir, f"{partition_col}={p}", uuid.uuid4().hex)
+                part_df = df.where(F.col(partition_col).cast("string") == p)
+                part_df.write.mode("overwrite").parquet(out)
+                files = [os.path.join(out, f) for f in os.listdir(out)
+                         if f.endswith(".parquet")]
+                n = spark.read.parquet(*files).count() if files else 0
+                manifest["partitions"][p] = {
+                    "n_rows": n, "wall_s": round(time.time() - t0, 3),
+                    "ts": time.time(), "files": files,
+                }
+            manifest["snapshot"] += 1
+            self._commit(name, manifest)
+            n_commits += 1
+            if fail_after is not None and n_commits >= fail_after:
+                raise RuntimeError(f"injected failure after {n_commits} commits")
+        return {"written": len(pending), "skipped": len(want) - len(pending),
+                "snapshots": n_commits}

@@ -1,0 +1,67 @@
+"""Checkpoint/lineage layer tests: atomic snapshots, mid-tiling resume
+(north rule), resume-equals-single-run (SURVEY.md §5.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaza_lcms_spark.operators import spatial_join as SJ
+from kaza_lcms_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def assigned(spark, fixture_dir):
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    idx = SJ.load_polygon_index_from_fixture()
+    return SJ.assign_images_fused(spark, imgs, idx).cache()
+
+
+def test_exists_and_ddl(tmp_path):
+    cat = Catalog(str(tmp_path))
+    assert not cat.table_exists("t")
+    cat.create_table("t")
+    assert not cat.table_exists("t")  # no committed snapshot yet
+
+
+def test_write_read_roundtrip(spark, assigned, tmp_path):
+    cat = Catalog(str(tmp_path))
+    res = cat.write_partitioned(spark, assigned, "tiles", "unit_id")
+    assert res["written"] == 12 and res["skipped"] == 0
+    back = cat.read_table(spark, "tiles")
+    assert back.count() == assigned.count()
+    a = sorted((r["image_id"], r["unit_id"]) for r in back.collect())
+    b = sorted((r["image_id"], r["unit_id"]) for r in assigned.collect())
+    assert a == b
+
+
+def test_resume_mid_tiling(spark, assigned, tmp_path):
+    """Crash after 1 commit group -> rerun -> identical to single run,
+    committed partitions not rewritten."""
+    cat = Catalog(str(tmp_path))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cat.write_partitioned(spark, assigned, "tiles", "unit_id",
+                              partitions_per_commit=3, fail_after=1)
+    committed1 = cat.committed_partitions("tiles")
+    assert len(committed1) == 3
+    lineage1 = {l.partition: l.ts for l in cat.lineage("tiles")}
+
+    res = cat.write_partitioned(spark, assigned, "tiles", "unit_id",
+                                partitions_per_commit=3)
+    assert res["skipped"] == 3 and res["written"] == 9
+    # committed partitions were not rewritten (timestamps unchanged)
+    lineage2 = {l.partition: l.ts for l in cat.lineage("tiles")}
+    for p in committed1:
+        assert lineage2[p] == lineage1[p]
+
+    back = cat.read_table(spark, "tiles")
+    assert back.count() == assigned.count()
+    # per-partition metrics recorded
+    for l in cat.lineage("tiles"):
+        assert l.n_rows > 0 and l.wall_s >= 0 and l.files
+
+
+def test_idempotent_rerun(spark, assigned, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.write_partitioned(spark, assigned, "tiles", "unit_id")
+    res = cat.write_partitioned(spark, assigned, "tiles", "unit_id")
+    assert res["written"] == 0 and res["skipped"] == 12
+    assert cat.read_table(spark, "tiles").count() == assigned.count()
