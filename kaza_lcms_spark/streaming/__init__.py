@@ -1,0 +1,12 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is strictly batch (annual composites; async export *tasks*,
+/root/reference/src/utils/exports.py:17,29,44) and resumability is handled
+by the checkpoint/lineage layer (sources/catalog.py). This module provides
+the noted-but-optional streaming mappings: A1/A3 → event-time tumbling
+windows + watermark, J4/J5 → stream-static spatial join — the same fused
+kernels run unchanged on streaming DataFrames because they are narrow
+mapInPandas transforms.
+"""
+
+from .windows import stream_tile_counts, windowed_event_stats  # noqa: F401

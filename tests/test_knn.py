@@ -1,0 +1,83 @@
+"""kNN operator tests: per-cell kNN vs brute force; salted == unsalted;
+blocked cosine == relational."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kaza_lcms_spark.kernels import codec
+from kaza_lcms_spark.operators import knn as KNN
+from kaza_lcms_spark.operators import spatial_join as SJ
+
+
+@pytest.fixture(scope="module")
+def cell_points(spark, fixture_dir):
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet") \
+        .select("image_id", "phash")
+    return SJ.with_cell(SJ.with_footprint(imgs), level=8).cache()
+
+
+def _truth(pdf, k):
+    out = {}
+    for cell, grp in pdf.groupby("cell_id"):
+        ids = grp["image_id"].to_numpy()
+        h = grp["phash"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids, h = ids[order], h[order]
+        n = len(ids)
+        if n <= 1:
+            continue
+        d = codec.hamming64(h[:, None], h[None, :])
+        np.fill_diagonal(d, 1 << 30)
+        for i in range(n):
+            cand = sorted(range(n), key=lambda j: (d[i, j], ids[j]))[: min(k, n - 1)]
+            out[ids[i]] = [(ids[j], int(d[i, j])) for j in cand]
+    return out
+
+
+def test_knn_per_cell_vs_bruteforce(spark, cell_points):
+    got = {}
+    res = KNN.knn_per_cell(cell_points, k=3).collect()
+    for r in res:
+        got.setdefault(r["image_id"], []).append((r["neighbor_id"], r["hamming"]))
+    pdf = cell_points.toPandas()
+    truth = _truth(pdf, 3)
+    assert set(got) == set(truth)
+    for q in truth:
+        assert sorted(got[q]) == sorted(truth[q]), q
+
+
+def test_knn_salted_equals_unsalted(spark, cell_points):
+    unsalted = KNN.knn_per_cell(cell_points, k=3, salt_threshold=10**9)
+    salted = KNN.knn_per_cell(cell_points, k=3, salt_threshold=20, salt_buckets=4)
+    a = sorted(tuple(r) for r in unsalted.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b
+
+
+def test_cosine_blocked_equals_relational(spark, sf_dir="/root/testdata/sf0.001"):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rel = {(r["vec_id"], r["neighbor_id"]) for r in
+           KNN.cosine_topk_relational(emb, k=5).collect()}
+    blk = {(r["vec_id"], r["neighbor_id"]) for r in
+           KNN.cosine_topk_blocked(spark, emb, k=5).collect()}
+    # identical neighbor sets (cos values may differ in last ulp)
+    overlap = len(rel & blk) / len(rel)
+    assert overlap > 0.999, overlap
+
+
+def test_cosine_ivf_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {}
+    for r in KNN.cosine_topk_relational(emb, k=5).collect():
+        exact.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    # fixture embeddings are near-uniform on the sphere (no cluster
+    # structure), so IVF needs a generous probe ratio for high recall
+    for r in KNN.cosine_topk_ivf(spark, emb, k=5, n_centroids=8, nprobe=6).collect():
+        approx.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert set(exact) == set(approx)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.85, f"IVF recall {recall:.3f} too low"
