@@ -253,6 +253,40 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("intercept", 6).alias("intercept"))
 
 
+def q_harmonic_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: harmonic regression y ~ b0 + b1·cos(ωt) + b2·sin(ωt) per group,
+    solved closed-form (3×3 Cramer) from sufficient statistics — fully
+    JVM-side, SQL-replayable (reference ee.Reducer.linearRegression,
+    /root/reference/src/utils/harmonics.py:14-46)."""
+    ev = _t(spark, sf_dir, "events")
+    t = (F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+         - F.lit(1704067200)) / F.lit(86400.0 * 365.25)
+    w = 2.0 * 3.141592653589793
+    c, s, y = F.cos(F.lit(w) * t), F.sin(F.lit(w) * t), F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).alias("sc"), F.sum(s).alias("ss"),
+        F.sum(c * c).alias("scc"), F.sum(s * s).alias("sss"),
+        F.sum(c * s).alias("scs"), F.sum(y).alias("sy"),
+        F.sum(c * y).alias("scy"), F.sum(s * y).alias("ssy"))
+    n, sc, ss = F.col("n"), F.col("sc"), F.col("ss")
+    scc, sss, scs = F.col("scc"), F.col("sss"), F.col("scs")
+    sy, scy, ssy = F.col("sy"), F.col("scy"), F.col("ssy")
+    det = (n * (scc * sss - scs * scs) - sc * (sc * sss - scs * ss)
+           + ss * (sc * scs - scc * ss))
+    d0 = (sy * (scc * sss - scs * scs) - sc * (scy * sss - scs * ssy)
+          + ss * (scy * scs - scc * ssy))
+    d1 = (n * (scy * sss - scs * ssy) - sy * (sc * sss - scs * ss)
+          + ss * (sc * ssy - scy * ss))
+    d2 = (n * (scc * ssy - scy * scs) - sc * (sc * ssy - scy * ss)
+          + sy * (sc * scs - scc * ss))
+    return g.select(
+        "event_type",
+        F.round(d0 / det, 4).alias("b0"),
+        F.round(d1 / det, 4).alias("b_cos"),
+        F.round(d2 / det, 4).alias("b_sin"))
+
+
 def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window (streaming-analog batch: SURVEY.md §2.10)."""
     ev = _t(spark, sf_dir, "events")
@@ -262,6 +296,51 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================= joins ====
+
+def q_date_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9: date + string scalar surface (dayofyear/date_add/make_date
+    analogs /root/reference/src/utils/harmonics.py:109 + string cat/format
+    /root/reference/src/00sample_pts.py:44) — one row per order."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.month("o_orderdate").alias("mon"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("d30"),
+        F.lpad("o_orderstatus", 3, "0").alias("padded"),
+        F.concat_ws("_", "o_orderpriority", F.col("o_orderkey").cast("string"))
+            .alias("tagged"),
+        F.regexp_replace("o_orderpriority", "[0-9]-", "").alias("prio_word"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_digit"))
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/A6/A8: array surface (zip/flatten/distinct/sort/contains/get,
+    /root/reference/src/utils/sampling.py:91,109 + aggregate_array
+    /root/reference/src/02train_test.py:108) — scalar-ized outputs so the
+    cross-engine compare is list-representation-free."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dis = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(dis).alias("n_distinct"),
+        F.element_at(dis, 1).alias("first_tok"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        F.array_join(F.slice(dis, 1, 3), "|").alias("first3"))
+
+
+def q_distance_neighbor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 saveAll semantics: per-point neighbor aggregation (matches
+    collected into a list, /root/reference/src/utils/sampling.py:23-28) —
+    n/min/max of neighbors within the radius."""
+    pts = _points(spark, sf_dir, limit_mod=40)
+    pairs = SJ.distance_join(pts, 0.3, id_col="pt_id")
+    both = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return both.groupBy(F.col("a").alias("pt_id")).agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.min("b").alias("min_nbr"), F.max("b").alias("max_nbr"))
+
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/P8: customers with no high-value (>250k) order (left anti)."""
@@ -437,7 +516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_composite": q_pct_composite,
         "q1_pricing": q_q1_pricing,
         "ols_trend": q_ols_trend,
+        "harmonic_cos": q_harmonic_cos,
         "window_hourly": q_window_hourly,
+        "date_string_funcs": q_date_string_funcs,
+        "array_funcs": q_array_funcs,
+        "distance_neighbor_stats": q_distance_neighbor_stats,
         "anti_join": q_anti_join,
         "semi_agg": q_semi_agg,
         "first_match_join": q_first_match_join,
@@ -655,11 +738,78 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*), 6) AS intercept
             FROM e GROUP BY 1
         """,
+        "harmonic_cos": f"""
+            WITH e AS (
+                SELECT event_type,
+                       cos({2.0 * 3.141592653589793!r} *
+                           ((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                             - 1704067200) / CAST({86400.0 * 365.25!r} AS DOUBLE))) AS c,
+                       sin({2.0 * 3.141592653589793!r} *
+                           ((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                             - 1704067200) / CAST({86400.0 * 365.25!r} AS DOUBLE))) AS s,
+                       value AS y
+                FROM events),
+            g AS (
+                SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(c) AS sc, SUM(s) AS ss, SUM(c*c) AS scc,
+                       SUM(s*s) AS sss, SUM(c*s) AS scs, SUM(y) AS sy,
+                       SUM(c*y) AS scy, SUM(s*y) AS ssy
+                FROM e GROUP BY 1)
+            SELECT event_type,
+                   ROUND((sy*(scc*sss - scs*scs) - sc*(scy*sss - scs*ssy)
+                          + ss*(scy*scs - scc*ssy))
+                         / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+                            + ss*(sc*scs - scc*ss)), 4) AS b0,
+                   ROUND((n*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss)
+                          + ss*(sc*ssy - scy*ss))
+                         / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+                            + ss*(sc*scs - scc*ss)), 4) AS b_cos,
+                   ROUND((n*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss)
+                          + sy*(sc*scs - scc*ss))
+                         / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+                            + ss*(sc*scs - scc*ss)), 4) AS b_sin
+            FROM g
+        """,
         "window_hourly": """
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "date_string_funcs": """
+            SELECT o_orderkey,
+                   dayofyear(o_orderdate) AS doy,
+                   month(o_orderdate) AS mon,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d30,
+                   lpad(o_orderstatus, 3, '0') AS padded,
+                   o_orderpriority || '_' || CAST(o_orderkey AS VARCHAR) AS tagged,
+                   regexp_replace(o_orderpriority, '[0-9]-', '') AS prio_word,
+                   substring(o_orderpriority, 1, 1) AS prio_digit
+            FROM orders WHERE o_orderkey % 10 = 0
+        """,
+        "array_funcs": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       list_sort(list_distinct(string_split(text, ' '))) AS dis
+                FROM documents)
+            SELECT doc_id,
+                   len(dis) AS n_distinct,
+                   dis[1] AS first_tok,
+                   CAST(list_contains(toks, 'the') AS INT) AS has_the,
+                   array_to_string(dis[1:3], '|') AS first3
+            FROM t
+        """,
+        "distance_neighbor_stats": f"""
+            WITH pts AS ({_POINTS40_SQL}),
+            pairs AS (
+                SELECT a.pt_id AS a, b.pt_id AS b
+                FROM pts a JOIN pts b
+                  ON a.pt_id <> b.pt_id
+                 AND (a.lon - b.lon) * (a.lon - b.lon)
+                   + (a.lat - b.lat) * (a.lat - b.lat) <= 0.3 * 0.3)
+            SELECT a AS pt_id, COUNT(*) AS n_nbrs,
+                   MIN(b) AS min_nbr, MAX(b) AS max_nbr
+            FROM pairs GROUP BY a
         """,
         "anti_join": """
             SELECT c_custkey FROM customer c

@@ -1,0 +1,79 @@
+"""Composite operators vs numpy closed forms (SURVEY.md §5.1-5.2):
+harmonic OLS = np.linalg.lstsq, percentiles = np.percentile(linear),
+simple OLS = np.polyfit."""
+
+import numpy as np
+import pytest
+
+from kaza_lcms_spark.operators import composite as C
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in ("a", "b", "c"):
+        t = rng.random(400) * 3.0
+        amp, ph, tr, off = rng.random(4) * 2
+        y = off + tr * t + amp * np.cos(2 * np.pi * t + ph) + rng.normal(0, .05, 400)
+        rows += [(g, float(tt), float(yy)) for tt, yy in zip(t, y)]
+    df = spark.createDataFrame(rows, "grp string, t double, y double")
+    return df, rows
+
+
+def test_harmonic_fit_matches_lstsq(spark, series_df):
+    df, rows = series_df
+    out = {r["grp"]: r for r in C.harmonic_fit(df, "grp", "t", "y").collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, t, y in rows:
+        by[g].append((t, y))
+    for g, pts in by.items():
+        t = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+        X = np.stack([np.ones_like(t), t, np.cos(2 * np.pi * t),
+                      np.sin(2 * np.pi * t)], axis=1)
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = out[g]
+        got = [r["coef_c"], r["coef_t"], r["coef_cos"], r["coef_sin"]]
+        assert np.allclose(got, coef, atol=1e-8), g
+        assert r["amplitude"] == pytest.approx(np.hypot(coef[2], coef[3]))
+        assert r["phase"] == pytest.approx(np.arctan2(coef[2], coef[3]))
+
+
+def test_percentile_composite_matches_numpy(spark, series_df):
+    df, rows = series_df
+    out = {r["grp"]: r for r in
+           C.percentile_composite(df, "grp", ["y"]).collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, t, y in rows:
+        by[g].append(y)
+    for g, ys in by.items():
+        for p in (10, 25, 50, 75, 90):
+            want = np.percentile(ys, p, method="linear")
+            assert out[g][f"p{p}_y"] == pytest.approx(want), (g, p)
+
+
+def test_ols_simple_matches_polyfit(spark, series_df):
+    df, rows = series_df
+    out = {r["grp"]: r for r in C.ols_simple(df, "grp", "t", "y").collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, t, y in rows:
+        by[g].append((t, y))
+    for g, pts in by.items():
+        t = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+        slope, icept = np.polyfit(t, y, 1)
+        assert out[g]["slope"] == pytest.approx(slope)
+        assert out[g]["intercept"] == pytest.approx(icept)
+
+
+def test_mean_composite(spark, series_df):
+    df, rows = series_df
+    out = {r["grp"]: r["mean_y"] for r in C.mean_composite(df, "grp", ["y"]).collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, t, y in rows:
+        by[g].append(y)
+    for g, ys in by.items():
+        assert out[g] == pytest.approx(np.mean(ys))

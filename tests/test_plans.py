@@ -1,0 +1,68 @@
+"""Physical-plan audits: the optimizations SURVEY.md §4 promises must be
+visible in `.explain` output — column pruning to the scan, a shuffle-free
+flagship, broadcast extraction joins, partial aggregation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaza_lcms_spark.operators import spatial_join as SJ
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_flagship_has_no_shuffle(spark, fixture_dir):
+    """Tile assignment is a narrow map: broadcast R-tree probe, no
+    Exchange anywhere in the per-row plan."""
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    idx = SJ.load_polygon_index_from_fixture()
+    plan = plan_of(SJ.assign_images_fused(spark, imgs, idx))
+    assert "Exchange" not in plan, plan
+
+
+def test_flagship_scan_prunes_columns(spark, fixture_dir):
+    """The join needs only image_id — the parquet ReadSchema must not
+    include the binary payload."""
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    idx = SJ.load_polygon_index_from_fixture()
+    plan = plan_of(SJ.assign_images_fused(spark, imgs, idx))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "bytes" not in scan[0], scan
+
+
+def test_zonal_has_partial_aggregation(spark, fixture_dir):
+    """zonal_stats goes partial -> exchange -> final (map-side combine)."""
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    idx = SJ.load_polygon_index_from_fixture()
+    plan = plan_of(SJ.zonal_stats(SJ.assign_images_fused(spark, imgs, idx)))
+    assert "partial_count" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, fixture_dir):
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    df = imgs.where(F.col("fmt") == "raw").select("image_id")
+    scan = [ln for ln in plan_of(df).splitlines() if "FileScan" in ln][0]
+    assert "PushedFilters" in scan and "fmt" in scan, scan
+
+
+def test_extraction_join_broadcasts_small_side(spark, fixture_dir):
+    """02train_test extraction: sampled points (small) joined to the cell
+    table — AQE/Catalyst must pick a broadcast hash join, not SMJ."""
+    lc = spark.read.parquet(fixture_dir + "/landcover_cells.parquet")
+    pts = lc.limit(500).select("cell_id", "LANDCOVER")
+    j = pts.join(lc.select("cell_id", "blue", "nir"), "cell_id")
+    j.collect()  # let AQE finalize
+    plan = plan_of(j)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_session_defaults(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
