@@ -103,6 +103,31 @@ def random_points_in_polygons(polys_df: DataFrame, n_per_poly: int,
     return polys_df.groupBy(id_col).applyInPandas(lambda k, pdf: gen(pdf), out_schema)
 
 
+def proportional_allocation(polys_df: DataFrame, total_points: int,
+                            label_col: str = "LANDCOVER",
+                            min_per_class: int = 2) -> dict[int, int]:
+    """R8: points per class proportional to total class polygon area
+    (reference src/utils/sampling.py:51-72, src/misc/pt_calc_disprop.py:23-55):
+    per-class area sums via one hash-agg, allocation arithmetic on the
+    driver, largest-remainder rounding so counts sum exactly."""
+    import math
+
+    pdf = polys_df.select(label_col, "ring_xs", "ring_ys").toPandas()
+    areas: dict[int, float] = {}
+    for _, r in pdf.iterrows():
+        areas[int(r[label_col])] = areas.get(int(r[label_col]), 0.0) + \
+            geom.polygon_area(np.asarray(r["ring_xs"]), np.asarray(r["ring_ys"]))
+    total_area = sum(areas.values())
+    raw = {c: max(min_per_class, total_points * a / total_area)
+           for c, a in areas.items()}
+    alloc = {c: int(math.floor(v)) for c, v in raw.items()}
+    rem = sorted(((raw[c] - alloc[c], c) for c in alloc), reverse=True)
+    short = total_points - sum(alloc.values())
+    for i in range(max(0, short)):
+        alloc[rem[i % len(rem)][1]] += 1
+    return alloc
+
+
 def ceo_format(points_df: DataFrame, aoi_tag: str,
                lon_col: str = "lon", lat_col: str = "lat",
                id_col: str = "pt_id") -> DataFrame:

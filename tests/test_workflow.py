@@ -73,3 +73,29 @@ def test_confusion_matrix_math(spark):
     assert acc[1] == (10 / 15, 10 / 15)
     assert acc[2] == (20 / 25, 20 / 25)
     assert P.overall_accuracy(cm) == 30 / 40
+
+
+def test_proportional_allocation(spark, fixture_dir):
+    refp = spark.read.parquet(f"{fixture_dir}/ref_polygons.parquet")
+    alloc = S.proportional_allocation(refp, 400)
+    assert sum(alloc.values()) == 400
+    assert set(alloc) == set(range(1, 9))
+    assert all(v >= 2 for v in alloc.values())
+    # bigger total area -> more points (monotone in area rank, roughly)
+    import numpy as np
+    from kaza_lcms_spark.kernels import geom
+    pdf = refp.toPandas()
+    areas = {}
+    for _, r in pdf.iterrows():
+        areas[int(r["LANDCOVER"])] = areas.get(int(r["LANDCOVER"]), 0.0) + \
+            geom.polygon_area(np.asarray(r["ring_xs"]), np.asarray(r["ring_ys"]))
+    big = max(areas, key=areas.get); small = min(areas, key=areas.get)
+    assert alloc[big] > alloc[small]
+
+
+def test_export_csv(spark, fixture_dir, tmp_path):
+    from kaza_lcms_spark.sources.exports import export_csv
+    imgs = spark.read.parquet(f"{fixture_dir}/images.parquet").limit(50)
+    export_csv(imgs, str(tmp_path / "out"), selectors=["image_id", "fmt"])
+    back = spark.read.option("header", "true").csv(str(tmp_path / "out"))
+    assert back.count() == 50 and back.columns == ["image_id", "fmt"]
