@@ -302,6 +302,19 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================= joins ====
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: dictionary/property access (reference ee.Dictionary get/combine
+    /root/reference/src/misc/pt_calc_disprop.py:15-40) — JSON property
+    extraction + per-type stats."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_date_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/F9: date + string scalar surface (dayofyear/date_add/make_date
     analogs /root/reference/src/utils/harmonics.py:109 + string cat/format
@@ -523,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "harmonic_cos": q_harmonic_cos,
         "window_hourly": q_window_hourly,
+        "json_props": q_json_props,
         "date_string_funcs": q_date_string_funcs,
         "array_funcs": q_array_funcs,
         "distance_neighbor_stats": q_distance_neighbor_stats,
@@ -780,6 +794,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+                       AS avg_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY 1
         """,
         "date_string_funcs": """
             SELECT o_orderkey,

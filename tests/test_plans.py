@@ -66,3 +66,33 @@ def test_session_defaults(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_bucketed_join_is_shuffle_free(spark, fixture_dir, tmp_path):
+    """Co-located join via bucketing (SURVEY.md §4 partitioning row): two
+    tables bucketed+sorted on cell_id join with ZERO Exchange — the
+    pre-shuffled layout a 100 TB deployment would maintain for repeated
+    cell-keyed joins."""
+    import shutil
+    lc = spark.read.parquet(fixture_dir + "/landcover_cells.parquet")
+    spark.sql("DROP TABLE IF EXISTS bt_cells")
+    spark.sql("DROP TABLE IF EXISTS bt_bands")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bt_cells", "bt_bands"):  # orphaned dirs from aborted runs
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (lc.select("cell_id", "LANDCOVER").write.bucketBy(8, "cell_id")
+       .sortBy("cell_id").mode("overwrite").saveAsTable("bt_cells"))
+    (lc.select("cell_id", "blue", "nir").write.bucketBy(8, "cell_id")
+       .sortBy("cell_id").mode("overwrite").saveAsTable("bt_bands"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (small fixtures would broadcast) so the
+        # bucketed layout's shuffle-freeness is what the plan shows
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_cells").join(spark.table("bt_bands"), "cell_id")
+        plan = plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(cell_id" not in plan, plan
+    spark.sql("DROP TABLE bt_cells"); spark.sql("DROP TABLE bt_bands")

@@ -1,0 +1,111 @@
+"""Property-based kernel tests (SURVEY.md §5.4) — hypothesis over the
+pure-numpy layer (no Spark session needed; fast)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kaza_lcms_spark.kernels import codec, geom, grid, rand
+
+LON = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False)
+LAT = st.floats(min_value=-89.999, max_value=89.999, allow_nan=False)
+LEVEL = st.integers(min_value=1, max_value=27)
+
+
+@given(st.lists(st.tuples(LON, LAT), min_size=1, max_size=50), LEVEL)
+@settings(max_examples=100, deadline=None)
+def test_cell_roundtrip_contains_point(pts, level):
+    lon = np.array([p[0] for p in pts]); lat = np.array([p[1] for p in pts])
+    c = grid.encode(lon, lat, level)
+    x0, y0, x1, y1 = grid.cell_bounds(c)
+    # quantization happens in (lon+180)/360 space: a point within half an
+    # ulp of a cell edge may land in the adjacent cell — consistent
+    # everywhere in the engine (same quantizer), so allow epsilon slip
+    eps = 1e-9
+    assert ((lon >= x0 - eps) & (lon < x1 + eps)).all()
+    assert ((lat >= y0 - eps) & (lat < y1 + eps)).all()
+
+
+@given(st.lists(st.tuples(LON, LAT), min_size=1, max_size=30),
+       st.integers(min_value=2, max_value=27))
+@settings(max_examples=100, deadline=None)
+def test_parent_is_prefix(pts, level):
+    lon = np.array([p[0] for p in pts]); lat = np.array([p[1] for p in pts])
+    c = grid.encode(lon, lat, level)
+    p = grid.parent(c, level - 1)
+    # direct encode at the coarser level gives the same cell
+    assert (p == grid.encode(lon, lat, level - 1)).all()
+
+
+@given(st.integers(min_value=3, max_value=12),
+       st.floats(min_value=-5, max_value=5),
+       st.floats(min_value=-5, max_value=5),
+       st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=100, deadline=None)
+def test_pip_translation_invariance(nvert, dx, dy, seed):
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.random(nvert)) * 2 * np.pi
+    r = 0.5 + rng.random(nvert)
+    xs, ys = r * np.cos(ang), r * np.sin(ang)
+    px = rng.random(200) * 4 - 2
+    py = rng.random(200) * 4 - 2
+    a = geom.points_in_polygon(px, py, xs, ys)
+    b = geom.points_in_polygon(px + dx, py + dy, xs + dx, ys + dy)
+    # FP translation can flip points within ~1e-9 of an edge; tolerate none
+    # for these grid-free random draws (measure-zero)
+    assert (a == b).mean() > 0.995
+
+
+@given(st.integers(min_value=1, max_value=200), st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=50, deadline=None)
+def test_strtree_equals_bruteforce(n, seed):
+    rng = np.random.default_rng(seed)
+    boxes = rng.random((n, 4))
+    boxes[:, 2:] = boxes[:, :2] + rng.random((n, 2)) * 0.3
+    tree = geom.STRtree(boxes)
+    q = rng.random(4)
+    q[2:] = q[:2] + rng.random(2) * 0.4
+    got = set(tree.query_box(*q).tolist())
+    want = {i for i in range(n)
+            if boxes[i, 0] <= q[2] and boxes[i, 2] >= q[0]
+            and boxes[i, 1] <= q[3] and boxes[i, 3] >= q[1]}
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=100, unique=True),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=100, deadline=None)
+def test_rng_deterministic_and_uniformish(keys, seed):
+    k = np.array(keys, dtype=np.int64)
+    u1 = rand.uniform(k, seed)
+    u2 = rand.uniform(k, seed)
+    assert (u1 == u2).all()
+    assert ((u1 >= 0) & (u1 < 1)).all()
+    # different seed decorrelates
+    u3 = rand.uniform(k, seed + 1)
+    assert len(k) < 3 or not np.array_equal(u1, u3)
+
+
+@given(st.integers(min_value=1, max_value=64), st.integers(min_value=1, max_value=64),
+       st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=60, deadline=None)
+def test_codec_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    for fmt in ("raw", "rle"):
+        d, f = codec.decode(codec.encode(px, fmt))
+        assert f == fmt and (d == px).all()
+    dq, _ = codec.decode(codec.encode(px, "quant"))
+    assert codec.psnr(px, dq) >= 40.0
+
+
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62), min_size=2,
+                max_size=50, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_hamming_metric_properties(hashes):
+    h = np.array(hashes, dtype=np.int64)
+    d = codec.hamming64(h[:, None], h[None, :])
+    assert (d == d.T).all()
+    assert (np.diag(d) == 0).all()
+    assert (d <= 64).all()
