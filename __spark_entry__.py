@@ -492,6 +492,14 @@ def q_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.thin_points(pts, 0.25, id_col="pt_id").orderBy("pid")
 
 
+def q_thinning_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 exact: distributed parallel-greedy MIS == the reference's
+    sequential iterate fold output, row-for-row (rows-only; matched vs
+    the sequential greedy in pytest)."""
+    pts = _points(spark, sf_dir, limit_mod=40)
+    return SJ.thin_points_exact(pts, 0.25, id_col="pt_id").orderBy("pid")
+
+
 def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (k=4): harmonic OLS via Gram-matrix sufficient stats + 4×4 solve
     (no SQL oracle; matched vs np.linalg.lstsq in pytest)."""
@@ -560,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming": q_knn_hamming,
         # non-SQL-expressible (rows-only checks):
         "thinning": q_thinning,
+        "thinning_exact": q_thinning_exact,
         "harmonic_fit": q_harmonic_fit,
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "image_invariants": q_image_invariants,

@@ -346,6 +346,56 @@ def distance_join(points_df: DataFrame, radius_deg: float,
     return pairs
 
 
+def thin_points_exact(points_df: DataFrame, radius_deg: float,
+                      id_col: str = "pt_id",
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      max_rounds: int = 64) -> DataFrame:
+    """EXACT distributed greedy thinning: identical output to the
+    sequential fold the reference runs (iterate-dedup,
+    /root/reference/src/utils/sampling.py:37-48, keep-lowest-id order).
+
+    The sequential greedy is a priority MIS: p is KEPT iff every lower-id
+    point within radius is DROPPED; DROPPED iff some lower-id neighbor is
+    KEPT. Computed as a parallel fixpoint: each round decides every point
+    whose lower-id neighbors are all decided — rounds needed = longest
+    dependency chain, not n. Each round is one join against the
+    still-undecided frontier (distance_join computes the neighbor graph
+    once, up front)."""
+    pts = points_df.select(id_col, lon_col, lat_col)
+    pairs = distance_join(pts, radius_deg, id_col, lon_col, lat_col).cache()
+    # lower-id neighbor lists: edges a<b mean "b depends on a"
+    ids = pts.select(F.col(id_col).alias("pid"))
+    undecided = ids
+    kept = None
+    dropped = None
+    for _ in range(max_rounds):
+        if undecided.isEmpty():
+            break
+        # a point is blocked iff it has an UNDECIDED or KEPT lower-id nbr
+        dep = pairs.withColumnRenamed("a", "lower").withColumnRenamed("b", "pid")
+        und_lower = dep.join(undecided.withColumnRenamed("pid", "lower"), "lower",
+                             "left_semi")
+        kept_lower = (dep.join(kept.withColumnRenamed("pid", "lower"), "lower",
+                               "left_semi") if kept is not None
+                      else dep.where(F.lit(False)))
+        blocked_now = und_lower.select("pid").union(kept_lower.select("pid")).distinct()
+        # undecided points with NO undecided lower nbr are decidable:
+        decidable = undecided.join(und_lower.select("pid").distinct(), "pid",
+                                   "left_anti")
+        new_dropped = decidable.join(kept_lower.select("pid").distinct(), "pid",
+                                     "left_semi")
+        new_kept = decidable.join(kept_lower.select("pid").distinct(), "pid",
+                                  "left_anti")
+        kept = new_kept if kept is None else kept.union(new_kept)
+        dropped = new_dropped if dropped is None else dropped.union(new_dropped)
+        undecided = undecided.join(decidable, "pid", "left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        undecided = undecided.localCheckpoint(eager=True)
+        del blocked_now
+    pairs.unpersist()
+    return kept.select(F.col("pid"))
+
+
 def thin_points(points_df: DataFrame, radius_deg: float,
                 id_col: str = "pt_id",
                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:

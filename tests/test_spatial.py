@@ -138,3 +138,29 @@ def test_fused_equals_staged(spark, fixture_dir, poly_index):
     a = sorted((r["image_id"], r["unit_id"], r["cell_id"]) for r in staged.collect())
     b = sorted((r["image_id"], r["unit_id"], r["cell_id"]) for r in fused.collect())
     assert a == b
+
+
+def test_thinning_exact_matches_sequential_greedy(spark, truth_lonlat):
+    n = 400
+    lon, lat = truth_lonlat
+    pdf = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(n)],
+        "pt_id long, lon double, lat double",
+    )
+    radius = 0.2
+    got = sorted(r["pid"] for r in sj.thin_points_exact(pdf, radius).collect())
+    # sequential greedy truth (the reference's iterate fold)
+    kept = []
+    for i in range(n):
+        ok = True
+        for j in kept:
+            if (lon[i] - lon[j]) ** 2 + (lat[i] - lat[j]) ** 2 <= radius * radius:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+    assert got == kept
+    # and it is partitioning-independent
+    got2 = sorted(r["pid"] for r in
+                  sj.thin_points_exact(pdf.repartition(7), radius).collect())
+    assert got2 == kept
