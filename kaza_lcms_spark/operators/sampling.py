@@ -17,8 +17,6 @@ exact top-k on the survivors) — noted in docstring, not needed at test SF.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window

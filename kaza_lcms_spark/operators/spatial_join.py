@@ -34,10 +34,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    DoubleType, LongType, StructField, StructType,
 )
 
-from ..kernels import geom, grid, rand
+from ..kernels import geom, grid
 from .. import datagen
 
 #: coarse grid level used as prefilter/shuffle key. Level 10 cells are
