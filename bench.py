@@ -110,6 +110,15 @@ def main() -> None:
 
     extras["knn_pairs"] = bench("knn_per_cell_phash", knn_cell)
 
+    # 3b. caption-neighbor kNN per cell (north-star operator: SimHash of
+    #     captions + salted Hamming kNN)
+    def caption_knn():
+        pts = SJ.with_cell(SJ.with_footprint(imgs.select("image_id", "caption")),
+                           level=10)
+        return KNN.caption_knn_per_cell(pts, k=5).count()
+
+    extras["caption_knn_pairs"] = bench("caption_knn_per_cell", caption_knn)
+
     # 4. distance self-join on derived points at SF (shuffle + halo replicate)
     def dist():
         return E.q_distance_pairs(spark, sf_dir).count()

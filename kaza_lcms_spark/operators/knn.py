@@ -223,6 +223,55 @@ def _knn_block(ids: np.ndarray, h: np.ndarray, q_rows: np.ndarray,
     return outs
 
 
+def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
+                         out_col: str = "cap_hash") -> DataFrame:
+    """64-bit SimHash of the caption token multiset (numpy-vectorized per
+    Arrow batch): tokens → splitmix64 → signed bit votes → sign pack.
+    Feeds the per-cell kNN so 'caption neighbors per cell'
+    (BASELINE.json::north_star) reuses the Hamming-kNN machinery."""
+    from ..kernels import rand as RND
+
+    @F.pandas_udf(LongType())
+    def sh(caps: pd.Series) -> pd.Series:
+        toks = caps.str.split(" ")
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
+            if len(toks) else np.array([], dtype=object)
+        # token -> uint64 via Python hash is session-salted; use FNV fold
+        codes = np.empty(len(flat), dtype=np.uint64)
+        seen: dict[str, int] = {}
+        for i, t in enumerate(flat):
+            v = seen.get(t)
+            if v is None:
+                h = 0xCBF29CE484222325
+                for bch in t.encode():
+                    h = ((h ^ bch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                v = seen[t] = h
+            codes[i] = v
+        codes = RND.mix64(codes)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        bits = ((codes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32) * 2 - 1
+        votes = np.zeros((len(lens), 64), dtype=np.int64)
+        np.add.at(votes, doc_idx, bits)
+        sig = ((votes > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.astype(np.int64))
+
+    return df.withColumn(out_col, sh(F.col(caption_col)))
+
+
+def caption_knn_per_cell(points: DataFrame, k: int,
+                         cell_col: str = "cell_id",
+                         id_col: str = "image_id",
+                         caption_col: str = "caption",
+                         **kw) -> DataFrame:
+    """North-star operator: per-cell caption-neighbor lookups — caption
+    SimHash + salted per-cell Hamming kNN."""
+    hashed = with_caption_simhash(points, caption_col)
+    return knn_per_cell(hashed, k, cell_col, id_col, "cap_hash", **kw)
+
+
 def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
                  id_col: str = "image_id", hash_col: str = "phash",
                  salt_threshold: int = 20000, salt_buckets: int = 8,

@@ -81,3 +81,27 @@ def test_cosine_ivf_recall(spark):
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
     assert recall >= 0.85, f"IVF recall {recall:.3f} too low"
+
+
+def test_caption_knn_per_cell(spark, fixture_dir):
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet") \
+        .select("image_id", "caption")
+    pts = SJ.with_cell(SJ.with_footprint(imgs), level=6)
+    out = KNN.caption_knn_per_cell(pts, k=3)
+    rows = out.collect()
+    assert len(rows) > 0
+    # neighbors share caption words more than random pairs do
+    caps = {r["image_id"]: set(r["caption"].split()) for r in imgs.collect()}
+    import numpy as np
+    rng = np.random.default_rng(0)
+    ids = list(caps)
+    def overlap(a, b):
+        return len(caps[a] & caps[b]) / len(caps[a] | caps[b])
+    nn = np.mean([overlap(r["image_id"], r["neighbor_id"]) for r in rows[:2000]])
+    rand_pairs = [(ids[i], ids[j]) for i, j in
+                  rng.integers(0, len(ids), (2000, 2))]
+    rd = np.mean([overlap(a, b) for a, b in rand_pairs])
+    assert nn > rd + 0.1, (nn, rd)
+    # simhash is deterministic across partitionings
+    out2 = KNN.caption_knn_per_cell(pts.repartition(7), k=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
