@@ -134,8 +134,19 @@ def _phash_batch(px: np.ndarray) -> np.ndarray:
     return (bits * weights[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
 
 
-def generate_images(n: int) -> pa.Table:
-    idx = np.arange(n, dtype=np.int64)
+def generate_images(n: int, chunk: int = 100_000) -> pa.Table:
+    """Chunked to bound peak memory: pixel stacks for 100k 64×64 images
+    are ~2.5 GB; generating 10⁶+ images in one batch would hold tens of
+    GB of float64 intermediates."""
+    if n > chunk:
+        parts = [_generate_images_chunk(np.arange(s, min(n, s + chunk), dtype=np.int64))
+                 for s in range(0, n, chunk)]
+        return pa.concat_tables(parts)
+    return _generate_images_chunk(np.arange(n, dtype=np.int64))
+
+
+def _generate_images_chunk(idx: np.ndarray) -> pa.Table:
+    n = len(idx)
     image_id = np.array([f"img_{i:012d}" for i in idx])
     u_size = rand.uniform(idx, SEED + 20)
     size = _SIZES[np.minimum((u_size * 3).astype(int), 2)]
@@ -145,7 +156,8 @@ def generate_images(n: int) -> pa.Table:
     lc = (rand.hash_u64(idx, SEED + 22) % np.uint64(8)).astype(int)
     fw = (rand.hash_u64(idx, SEED + 23) % np.uint64(8)).astype(int)
     caption = np.array([
-        f"{LC_WORDS[lc[i]]} near {FEAT_WORDS[fw[i]]} tile {i}" for i in idx
+        f"{LC_WORDS[lc[j]]} near {FEAT_WORDS[fw[j]]} tile {i}"
+        for j, i in enumerate(idx)
     ])
 
     blobs: list[bytes | None] = [None] * n
