@@ -281,6 +281,68 @@ def generate_landcover_cells(level: int = 12) -> pa.Table:
     })
 
 
+# --------------------------------------------------------- S2-like timeseries
+
+def generate_s2_timeseries(level: int = 13, n_dates: int = 24,
+                           bbox: tuple[float, float, float, float] =
+                           (20.0, -19.0, 22.0, -17.0)) -> pa.Table:
+    """Sentinel-2-like per-cell time series (reference scan analog:
+    COPERNICUS/S2_SR collection, /root/reference/src/utils/s2process.py:17-25):
+    (cell_id, ix, iy, ts, doy, blue..swir2, cloud_prob).
+
+    Ground truth per cell = smooth base field + seasonal harmonic
+    (amplitude/phase vary per band); cloudy observations (cloud_prob>60,
+    spatially blobby per date) are *corrupted* (+brightening) so the
+    engine's mask pipeline must remove them to recover clean composites —
+    the semantic test of 01composite_s2.
+    """
+    from .kernels import grid
+
+    cells = grid.cover_bbox(*bbox, level)
+    lon, lat = grid.cell_center(cells)
+    ix, iy, _ = grid.decode_ixiy(cells)
+    n = len(cells)
+
+    dates = np.array([np.datetime64("2023-01-05") + np.timedelta64(int(round(i * 365 / 12)), "D")
+                      for i in range(n_dates)])
+    doy = ((dates - dates.astype("datetime64[Y]").astype("datetime64[D]"))
+           .astype(int) + 1)
+
+    rows = {k: [] for k in ["cell_id", "ix", "iy", "ts", "doy", "cloud_prob",
+                            "blue", "green", "red", "nir", "swir1", "swir2"]}
+    for d_i, (d, dy) in enumerate(zip(dates, doy)):
+        # blobby cloud field per date: coarse-parent hash + date
+        parent = grid.parent(cells, level - 3)
+        cp = rand.uniform(parent ^ np.int64(d_i * 1315423911), SEED + 70) * 100.0
+        cloudy = cp > 60.0
+        t = dy / 365.0
+        rows["cell_id"].append(cells)
+        rows["ix"].append(ix); rows["iy"].append(iy)
+        rows["ts"].append(np.full(n, d))
+        rows["doy"].append(np.full(n, dy, dtype=np.int32))
+        rows["cloud_prob"].append(cp)
+        for k, band in enumerate(["blue", "green", "red", "nir", "swir1", "swir2"]):
+            base = 0.3 + 0.2 * np.sin(lon * (0.9 + 0.1 * k)) * np.cos(lat * 1.1)
+            amp = 0.05 + 0.02 * k
+            phase = 0.1 * k
+            v = base + amp * np.cos(2 * np.pi * (t - phase)) \
+                + 0.01 * (rand.uniform(cells ^ np.int64(d_i * 2654435761 + k), SEED + 80) - 0.5)
+            v = v + cloudy * (1.0 + 0.05 * k)          # cloud brightening
+            rows[band].append(v)
+    out = {}
+    for k, parts in rows.items():
+        arr = np.concatenate(parts)
+        if k == "ts":
+            out[k] = pa.array(arr.astype("datetime64[us]"))
+        elif k in ("cell_id", "ix", "iy"):
+            out[k] = pa.array(arr.astype(np.int64), pa.int64())
+        elif k == "doy":
+            out[k] = pa.array(arr.astype(np.int32), pa.int32())
+        else:
+            out[k] = pa.array(arr.astype(np.float64), pa.float64())
+    return pa.table(out)
+
+
 # ---------------------------------------------------------------- ensure/IO
 
 def ensure_fixtures(n_images: int, root: str | None = None, lc_level: int = 12) -> str:
@@ -289,6 +351,10 @@ def ensure_fixtures(n_images: int, root: str | None = None, lc_level: int = 12) 
     out = os.path.join(root, f"v{DATAGEN_VERSION}_n{n_images}_l{lc_level}")
     stamp = os.path.join(out, "_DONE.json")
     if os.path.exists(stamp):
+        # backfill tables added after the cache was built (same version)
+        s2 = os.path.join(out, "s2_timeseries.parquet")
+        if not os.path.exists(s2):
+            pq.write_table(generate_s2_timeseries(), s2)
         return out
     os.makedirs(out, exist_ok=True)
     pq.write_table(generate_images(n_images), os.path.join(out, "images.parquet"),
@@ -296,6 +362,7 @@ def ensure_fixtures(n_images: int, root: str | None = None, lc_level: int = 12) 
     pq.write_table(generate_aoi_polygons(), os.path.join(out, "aoi_polygons.parquet"))
     pq.write_table(generate_ref_polygons(), os.path.join(out, "ref_polygons.parquet"))
     pq.write_table(generate_landcover_cells(lc_level), os.path.join(out, "landcover_cells.parquet"))
+    pq.write_table(generate_s2_timeseries(), os.path.join(out, "s2_timeseries.parquet"))
     with open(stamp, "w") as f:
         json.dump({"version": DATAGEN_VERSION, "n_images": n_images, "lc_level": lc_level}, f)
     return out

@@ -38,13 +38,17 @@ def _offsets(radius: int) -> list[tuple[int, int]]:
 
 def focal_agg(cells: DataFrame, value_col: str, radius: int = 1,
               ix_col: str = "ix", iy_col: str = "iy",
-              stats: tuple[str, ...] = ("mean", "var")) -> DataFrame:
+              stats: tuple[str, ...] = ("mean", "var"),
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Focal mean/variance/sum/count over the (2r+1)² window, relational.
     Cells absent from the table simply don't contribute (GEE masked-pixel
-    semantics)."""
+    semantics). ``group_cols`` (e.g. a timestamp) restricts the window to
+    the same group — per-image focal ops on a time-series stack."""
+    gcols = list(group_cols)
     out = None
     for dx, dy in _offsets(radius):
-        nb = cells.select((F.col(ix_col) + dx).alias(ix_col),
+        nb = cells.select(*gcols,
+                          (F.col(ix_col) + dx).alias(ix_col),
                           (F.col(iy_col) + dy).alias(iy_col),
                           F.col(value_col).alias("_v"))
         out = nb if out is None else out.unionByName(nb)
@@ -57,37 +61,43 @@ def focal_agg(cells: DataFrame, value_col: str, radius: int = 1,
         aggs.append(F.sum("_v").alias(f"focal_sum_{value_col}"))
     if "count" in stats:
         aggs.append(F.count("_v").alias(f"focal_n_{value_col}"))
-    nbr = out.groupBy(ix_col, iy_col).agg(*aggs)
-    return cells.join(nbr, [ix_col, iy_col], "inner")
+    nbr = out.groupBy(*gcols, ix_col, iy_col).agg(*aggs)
+    return cells.join(nbr, gcols + [ix_col, iy_col], "inner")
 
 
 def erode(cells: DataFrame, mask_col: str, radius: int = 1,
-          ix_col: str = "ix", iy_col: str = "iy") -> DataFrame:
+          ix_col: str = "ix", iy_col: str = "iy",
+          group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Binary erosion: mask stays 1 iff ALL (2r+1)² neighbors are set
     (missing cells count as unset). focal_min analog."""
     w = (2 * radius + 1) ** 2
     f = focal_agg(cells.withColumn("_m", F.col(mask_col).cast("double")),
-                  "_m", radius, ix_col, iy_col, stats=("sum", "count"))
+                  "_m", radius, ix_col, iy_col, stats=("sum", "count"),
+                  group_cols=group_cols)
     keep = (F.col("focal_sum__m") >= F.lit(float(w))) & (F.col("focal_n__m") == w)
     return f.withColumn(mask_col, keep.cast("int")) \
             .drop("_m", "focal_sum__m", "focal_n__m")
 
 
 def dilate(cells: DataFrame, mask_col: str, radius: int = 1,
-           ix_col: str = "ix", iy_col: str = "iy") -> DataFrame:
+           ix_col: str = "ix", iy_col: str = "iy",
+           group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Binary dilation: 1 iff ANY neighbor set. focal_max analog."""
     f = focal_agg(cells.withColumn("_m", F.col(mask_col).cast("double")),
-                  "_m", radius, ix_col, iy_col, stats=("sum",))
+                  "_m", radius, ix_col, iy_col, stats=("sum",),
+                  group_cols=group_cols)
     return f.withColumn(mask_col, (F.col("focal_sum__m") > 0).cast("int")) \
             .drop("_m", "focal_sum__m")
 
 
 def open_grow_mask(cells: DataFrame, mask_col: str,
-                   erode_r: int = 1, grow_r: int = 2) -> DataFrame:
+                   erode_r: int = 1, grow_r: int = 2,
+                   group_cols: tuple[str, ...] = ()) -> DataFrame:
     """W1 cloud-mask pipeline: erosion (despeckle) then dilation (grow
     100 m buffer) — reference focal_min(2).focal_max(BUFFER*2/20),
     src/utils/s2process.py:84-88."""
-    return dilate(erode(cells, mask_col, erode_r), mask_col, grow_r)
+    return dilate(erode(cells, mask_col, erode_r, group_cols=group_cols),
+                  mask_col, grow_r, group_cols=group_cols)
 
 
 def directional_transform(cells: DataFrame, mask_col: str,
