@@ -87,7 +87,8 @@ def primitives_to_collection(train: DataFrame, cells: DataFrame,
                              feature_cols: list[str],
                              classes: list[int] | None = None,
                              label_col: str = "LANDCOVER",
-                             key_col: str = "cell_id") -> DataFrame:
+                             key_col: str = "cell_id",
+                             n_trees: int = RF_TREES) -> DataFrame:
     """One binary RF per class; union of per-class probability tables
     (cell_id, class, prob) — the reference's primitives ImageCollection
     (src/utils/primitives.py:100-151). Fits run sequentially on the driver
@@ -97,7 +98,8 @@ def primitives_to_collection(train: DataFrame, cells: DataFrame,
                    train.select(label_col).distinct().orderBy(label_col).collect()]
     out = None
     for c in classes:
-        model, used = fit_rf_prim(format_pts(train, c, label_col), feature_cols)
+        model, used = fit_rf_prim(format_pts(train, c, label_col), feature_cols,
+                                  n_trees=n_trees)
         probs = predict_prob(model, cells, used).select(
             key_col, F.lit(int(c)).alias("class"), F.col("Probability").alias("prob"))
         out = probs if out is None else out.unionByName(probs)

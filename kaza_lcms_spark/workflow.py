@@ -20,6 +20,7 @@ cell. Everything else is narrow or a broadcast.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,6 +86,48 @@ def score_accuracy(predicted: DataFrame, test: DataFrame) -> tuple[DataFrame, fl
                                      F.col("LANDCOVER").alias("pred")), "cell_id"))
     cm = P.confusion_matrix(scored)
     return P.class_accuracies(cm), P.overall_accuracy(cm)
+
+
+def run_composite_workflow(spark: SparkSession, fixture_dir: str,
+                           n_per_class: int = 150, n_trees: int = 100) -> dict:
+    """The chained 01→03→04→05 workflow over ENGINE outputs: build the
+    annual composite from the raw time series (cloud mask → indices →
+    percentile/harmonic features), label its cells from the categorical
+    raster via the cell hierarchy (level-13 → parent level-12 equi-join —
+    the reprojection W3 as a pure integer shift), train per-class RF
+    primitives on the composite features, assemble argmax land cover, and
+    score accuracy on held-out cells."""
+    from pyspark.sql.types import LongType
+
+    from .operators import composite_pipeline as CP
+    from .operators import sampling as S
+
+    ts = spark.read.parquet(f"{fixture_dir}/s2_timeseries.parquet")
+    lc = spark.read.parquet(f"{fixture_dir}/landcover_cells.parquet")
+    comp = CP.build_composite(ts)
+
+    @F.pandas_udf(LongType())
+    def parent12(cell: pd.Series) -> pd.Series:
+        return pd.Series(grid.parent(cell.to_numpy(), 12))
+
+    labeled = (comp.withColumn("p12", parent12(F.col("cell_id")))
+               .join(lc.select(F.col("cell_id").alias("p12"), "LANDCOVER"), "p12")
+               .drop("p12").dropna())
+    feature_cols = [c for c in labeled.columns
+                    if c.startswith("p") and "_" in c] + ["amplitude", "phase"]
+    sampled = S.stratified_topk(labeled, "LANDCOVER", "cell_id", n_per_class)
+    train, test = S.train_test_split(sampled, "cell_id", 0.8)
+    train = train.cache(); test = test.cache()
+
+    prims = P.primitives_to_collection(train, labeled, feature_cols,
+                                       n_trees=n_trees)
+    landcover = P.assemble_max_prob(prims)
+    accs, overall = score_accuracy(landcover, test)
+    return {
+        "n_features": len(feature_cols), "n_train": train.count(),
+        "n_test": test.count(), "n_cells": landcover.count(),
+        "overall_acc": overall,
+    }
 
 
 def run_full_pipeline(spark: SparkSession, fixture_dir: str,

@@ -99,3 +99,13 @@ def test_export_csv(spark, fixture_dir, tmp_path):
     export_csv(imgs, str(tmp_path / "out"), selectors=["image_id", "fmt"])
     back = spark.read.option("header", "true").csv(str(tmp_path / "out"))
     assert back.count() == 50 and back.columns == ["image_id", "fmt"]
+
+
+def test_composite_workflow_end_to_end(spark, fixture_dir):
+    """01→03→04→05 chained over engine outputs: composite features from
+    the raw time series feed RF primitives; assemblage + accuracy close
+    the loop (reduced trees for test runtime)."""
+    res = W.run_composite_workflow(spark, fixture_dir, n_per_class=100, n_trees=20)
+    assert res["n_cells"] == 4232
+    assert res["n_features"] >= 40
+    assert res["overall_acc"] > 0.5
