@@ -296,8 +296,13 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window (streaming-analog batch: SURVEY.md §2.10)."""
     ev = _t(spark, sf_dir, "events")
     hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    # sum (not avg) rounded at 2dp: hourly windows hold ~24 values, so the
+    # cross-engine FP-sum-order noise (~1e-13) sits 10^11 below the
+    # rounding step — avg at 4dp was observed to straddle a boundary at
+    # sf0.1 (3/3600 rows)
     return (ev.groupBy("event_type", hour)
-            .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
 
 
 # ================================================================= joins ====
@@ -801,7 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "window_hourly": """
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-                   COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "json_props": """
