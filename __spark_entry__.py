@@ -411,6 +411,16 @@ def q_argmax_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ======================================================== accuracy / ML =====
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toBands analog (/root/reference/src/utils/assemblage.py:22): pivot
+    event types into per-user count columns."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (ev.groupBy("user_id").pivot("event_type", types).count()
+           .fillna(0, types))
+    return out.select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+
+
 def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: confusion counts (true=label, pred=hash surrogate model)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -558,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_match_join": q_first_match_join,
         "union_tagged": q_union_tagged,
         "argmax_user_type": q_argmax_user_type,
+        "pivot_counts": q_pivot_counts,
         "confusion_matrix": q_confusion_matrix,
         "accuracy_per_class": q_accuracy_per_class,
         "exact_dedup": q_exact_dedup,
@@ -878,6 +889,15 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY user_id
                            ORDER BY SUM(value) DESC, event_type ASC) AS rn
                 FROM events GROUP BY user_id, event_type) WHERE rn = 1
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "confusion_matrix": f"""
             SELECT CAST(label AS BIGINT) AS true_label,

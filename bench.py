@@ -134,6 +134,12 @@ def main() -> None:
     # 7. blocked cosine top-k over embeddings (broadcast matmul)
     bench("ann_topk", lambda: E.q_cosine_topk_blocked(spark, sf_dir).count())
 
+    # 8. annual composite build: mask -> morphology -> indices -> percentile
+    #    + harmonic reductions over the S2-like time series (~100k obs)
+    from kaza_lcms_spark.operators import composite_pipeline as CP
+    ts_df = spark.read.parquet(f"{fix_dir}/s2_timeseries.parquet")
+    bench("composite_build", lambda: CP.build_composite(ts_df).count())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kaza_headline_suite_seconds",
