@@ -78,6 +78,24 @@ def q_tile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("val"), 2).alias("avg_val")))
 
 
+def q_country_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal stats rolled up to the country dimension: spatial-join output
+    ⋈ broadcast AOI attribute table (reference: per-country reporting of
+    KAZA units, /root/reference/src/misc/pt_calc_disprop.py:9-10)."""
+    from kaza_lcms_spark import datagen as DG
+    idx = SJ.load_polygon_index_from_fixture()
+    pts = _points(spark, sf_dir)
+    a = SJ.assign_tiles(spark, pts, idx, keep_cols=("pt_id", "val"))
+    aoi = DG.generate_aoi_polygons()
+    dim = spark.createDataFrame(
+        list(zip(aoi["unit_id"].to_pylist(), aoi["country"].to_pylist())),
+        "unit_id long, country string")
+    return (a.withColumn("unit_id", F.col("unit_id").cast("long"))
+            .join(F.broadcast(dim), "unit_id")
+            .groupBy("country")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("val"), 2).alias("sum_val")))
+
+
 def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid kernel: Morton cell id at level 8 (engine UDF vs SQL interleave)."""
     pts = _points(spark, sf_dir)
@@ -542,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assignment": q_tile_assignment,
         "tile_zonal": q_tile_zonal,
+        "country_zonal": q_country_zonal,
         "cell_morton": q_cell_morton,
         "landcover_zonal": q_landcover_zonal,
         "distance_pairs": q_distance_pairs,
@@ -594,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     pip_case = O.pip_unit_case_sql("lon", "lat")
     morton8 = O.morton_cell_sql("lon", "lat", 8)
+    from kaza_lcms_spark import datagen as DG
+    _aoi = DG.generate_aoi_polygons()
+    country_case = " ".join(
+        f"WHEN {u} THEN '{c}'"
+        for u, c in zip(_aoi["unit_id"].to_pylist(), _aoi["country"].to_pylist()))
     lc = D.landcover_class_sql("lon", "lat")
     stop_list = ",".join(f"'{s}'" for s in T.EN_STOPWORDS)
     mh = DD.MINHASH_PARAMS
@@ -621,6 +645,14 @@ def oracle_sql() -> dict[str, str]:
             a AS (SELECT pt_id, val, CAST({pip_case} AS BIGINT) AS unit_id FROM pts)
             SELECT unit_id, COUNT(*) AS n, ROUND(AVG(val), 2) AS avg_val
             FROM a WHERE unit_id IS NOT NULL GROUP BY unit_id
+        """,
+        "country_zonal": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            a AS (SELECT pt_id, val, {pip_case} AS unit_id FROM pts)
+            SELECT CASE unit_id {country_case} END AS country,
+                   COUNT(*) AS n, ROUND(SUM(val), 2) AS sum_val
+            FROM a WHERE unit_id IS NOT NULL
+            GROUP BY 1
         """,
         "cell_morton": f"""
             WITH pts AS ({_POINTS_SQL})
