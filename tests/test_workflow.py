@@ -109,3 +109,19 @@ def test_composite_workflow_end_to_end(spark, fixture_dir):
     assert res["n_cells"] == 4232
     assert res["n_features"] >= 40
     assert res["overall_acc"] > 0.5
+
+
+def test_stratified_topk_scalable_equals_exact(spark, fixture_dir):
+    """The two-phase threshold select must produce EXACTLY the same rows
+    as the full-sort window version."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = S.stratified_topk(ev, "event_type", "event_id", 50) \
+        .select("event_id").toPandas()["event_id"].sort_values().tolist()
+    b = S.stratified_topk_scalable(ev, "event_type", "event_id", 50) \
+        .select("event_id").toPandas()["event_id"].sort_values().tolist()
+    assert a == b
+    # n larger than a class: returns the whole class, same as exact
+    lc = spark.read.parquet(f"{fixture_dir}/landcover_cells.parquet").limit(500)
+    a2 = sorted(r["cell_id"] for r in S.stratified_topk(lc, "LANDCOVER", "cell_id", 400).collect())
+    b2 = sorted(r["cell_id"] for r in S.stratified_topk_scalable(lc, "LANDCOVER", "cell_id", 400).collect())
+    assert a2 == b2
