@@ -383,6 +383,45 @@ def q_distance_neighbor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").alias("min_nbr"), F.max("b").alias("max_nbr"))
 
 
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec analytic window: per-user rolling sum/count over the 5
+    preceding events by event time (engine breadth beyond the reference's
+    rank-only windows)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(-5, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(F.sum("value").over(w), 2).alias("sum_win"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split at >30 min gaps (lag +
+    cumulative sum of boundaries) — the batch form of stateful streaming
+    session windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    gap = sec - F.lag(sec, 1).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.select("user_id", "event_id", "value",
+                     F.sum(is_new).over(w).alias("session_seq"))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization: connected components over near-duplicate
+    pairs (Jaccard >= 0.62 on a doc subset) — min-label propagation vs a
+    recursive-CTE transitive closure oracle."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = DD.jaccard_pairs(docs, threshold=0.92).select("a", "b")
+    return DD.duplicate_clusters(pairs)
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/P8: customers with no high-value (>250k) order (left anti)."""
     c = _t(spark, sf_dir, "customer")
@@ -582,6 +621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_string_funcs": q_date_string_funcs,
         "array_funcs": q_array_funcs,
         "distance_neighbor_stats": q_distance_neighbor_stats,
+        "rolling_window": q_rolling_window,
+        "sessionize": q_sessionize,
+        "dup_clusters": q_dup_clusters,
         "anti_join": q_anti_join,
         "semi_agg": q_semi_agg,
         "first_match_join": q_first_match_join,
@@ -893,6 +935,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS pt_id, COUNT(*) AS n_nbrs,
                    MIN(b) AS min_nbr, MAX(b) AS max_nbr
             FROM pairs GROUP BY a
+        """,
+        "rolling_window": """
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS n_win,
+                   ROUND(SUM(value) OVER w, 2) AS sum_win
+            FROM events WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, value, ts,
+                       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                FROM events),
+            g AS (
+                SELECT user_id, event_id, value, ts,
+                       CASE WHEN sec - LAG(sec) OVER w IS NULL
+                              OR sec - LAG(sec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            s AS (
+                SELECT user_id, value,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS session_seq
+                FROM g)
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE
+            docs AS (SELECT * FROM documents WHERE doc_id < 60),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM docs),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+            com AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+                FROM toks x JOIN toks y ON x.token = y.token AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT a, b FROM com
+                JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                WHERE ROUND(common / (sa.sz + sb.sz - common), 4) >= 0.92),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            reach(node, lbl) AS (
+                SELECT x, x FROM edges
+                UNION
+                SELECT e.x, r.lbl FROM edges e JOIN reach r ON r.node = e.y)
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1
         """,
         "anti_join": """
             SELECT c_custkey FROM customer c

@@ -112,6 +112,38 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
     return dt.groupBy(id_col).agg(acc.alias("simhash"))
 
 
+def duplicate_clusters(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Connected components over near-duplicate pairs → (node, cluster_id)
+    with cluster_id = min reachable node id. The canonicalization step of
+    a dedup pipeline (each cluster keeps its lowest-id representative).
+
+    Distributed min-label propagation: each round every node adopts the
+    min label among itself and its neighbors; converges in O(diameter)
+    rounds — each round is one join + one hash-agg, checkpointed to keep
+    lineage flat. At 10¹² edges this is the standard large-graph CC shape
+    (alternating large/small star optimizations would halve rounds; not
+    needed at these diameters)."""
+    edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+             .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))))
+    labels = (edges.select(F.col("x").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_rounds):
+        nbr_min = (edges.join(labels.withColumnRenamed("node", "y"), "y")
+                   .groupBy("x").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min.withColumnRenamed("x", "node"), "node", "left")
+                      .select("node",
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", "label")).alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def hamming_near_dup_pairs(sig: DataFrame, max_dist: int,
                            id_col: str = "doc_id",
                            hash_col: str = "simhash") -> DataFrame:
