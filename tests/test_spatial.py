@@ -164,3 +164,18 @@ def test_thinning_exact_matches_sequential_greedy(spark, truth_lonlat):
     got2 = sorted(r["pid"] for r in
                   sj.thin_points_exact(pdf.repartition(7), radius).collect())
     assert got2 == kept
+
+
+def test_verify_invariants_contract(spark, fixture_dir):
+    """BASELINE.json::input_hint per-row invariant: lossless fmts round-trip
+    byte-exactly with matching phash; the lossy fmt re-encodes at
+    PSNR >= 40 dB."""
+    from kaza_lcms_spark.sources import images as IMG
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    rows = {r["fmt"]: r for r in IMG.verify_invariants(imgs).collect()}
+    assert set(rows) == {"raw", "rle", "quant"}
+    for fmt in ("raw", "rle"):
+        r = rows[fmt]
+        assert r["n_roundtrip_ok"] == r["n"], fmt
+        assert r["n_phash_ok"] == r["n"], fmt
+    assert rows["quant"]["min_psnr"] >= 40.0
