@@ -99,13 +99,25 @@ class Catalog:
         return [Lineage(partition=k, **{kk: vv for kk, vv in v.items()})
                 for k, v in sorted(m["partitions"].items())]
 
-    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+    def read_table(self, spark: SparkSession, name: str,
+                   partitions: list[str] | None = None) -> DataFrame:
         """Read exactly the committed files (partial/aborted writes are
-        invisible — they are not in the manifest)."""
+        invisible — they are not in the manifest).
+
+        ``partitions`` prunes at the MANIFEST level: only the named
+        partitions' files are handed to the scan — the catalog half of
+        partition pruning (the driver-side half derives the partition
+        list from an AOI cell cover, SURVEY.md §4). The scan never
+        opens, lists, or footer-reads pruned files."""
         m = self._read_manifest(name)
-        files = [f for p in m["partitions"].values() for f in p["files"]]
+        parts = m["partitions"]
+        if partitions is not None:
+            want = {str(p) for p in partitions}
+            parts = {k: v for k, v in parts.items() if k in want}
+        files = [f for p in parts.values() for f in p["files"]]
         if not files:
-            raise ValueError(f"table {name} has no committed data")
+            raise ValueError(f"table {name} has no committed data in "
+                             f"{'selected partitions' if partitions else 'any partition'}")
         return spark.read.parquet(*files)
 
     # ------------------------------------------------------------ writes

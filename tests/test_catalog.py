@@ -65,3 +65,18 @@ def test_idempotent_rerun(spark, assigned, tmp_path):
     res = cat.write_partitioned(spark, assigned, "tiles", "unit_id")
     assert res["written"] == 0 and res["skipped"] == 12
     assert cat.read_table(spark, "tiles").count() == assigned.count()
+
+
+def test_manifest_partition_pruning(spark, assigned, tmp_path):
+    """Catalog-side partition pruning: reading 2 of 12 partitions touches
+    only their files and returns exactly their rows."""
+    cat = Catalog(str(tmp_path))
+    cat.write_partitioned(spark, assigned, "tiles", "unit_id")
+    sub = cat.read_table(spark, "tiles", partitions=["3", "7"])
+    want = assigned.where(F.col("unit_id").isin(3, 7)).count()
+    assert sub.count() == want
+    assert set(r["unit_id"] for r in sub.select("unit_id").distinct().collect()) == {3, 7}
+    # pruned read scans strictly fewer files than the full read
+    full_files = sum(len(l.files) for l in cat.lineage("tiles"))
+    sub_files = sum(len(l.files) for l in cat.lineage("tiles") if l.partition in ("3", "7"))
+    assert 0 < sub_files < full_files
