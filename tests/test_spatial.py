@@ -179,3 +179,15 @@ def test_verify_invariants_contract(spark, fixture_dir):
         assert r["n_roundtrip_ok"] == r["n"], fmt
         assert r["n_phash_ok"] == r["n"], fmt
     assert rows["quant"]["min_psnr"] >= 40.0
+
+
+def test_codegen_assign_equals_rtree(spark, fixture_dir, poly_index):
+    """The compiled CASE-chain strategy must match the R-tree probe
+    row-for-row (same lowest-unit-id tie-break)."""
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet")
+    pts = sj.with_footprint(imgs.select("image_id"))
+    a = sorted((r["image_id"], r["unit_id"]) for r in
+               sj.assign_tiles(spark, pts, poly_index).collect())
+    b = sorted((r["image_id"], r["unit_id"]) for r in
+               sj.assign_tiles_codegen(pts, poly_index).collect())
+    assert a == b
