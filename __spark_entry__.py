@@ -520,6 +520,30 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(docs)
 
 
+def q_ngram3_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup pairs (shingle-level dedup):
+    shingles generated JVM-side via sequence+transform+explode; relational
+    set intersection as in token Jaccard."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+        )).alias("g")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "g")
+    b = sh.select(F.col("doc_id").alias("b"), "g")
+    common = (a.join(b, "g").where(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
+    return (common
+            .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+            .select("a", "b",
+                    F.round(F.col("common") /
+                            (F.col("sza") + F.col("szb") - F.col("common")), 4)
+                    .alias("jaccard3")))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_t(spark, sf_dir, "documents"))
 
@@ -636,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "ngram3_jaccard": q_ngram3_jaccard,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "lang_signal": q_lang_signal,
@@ -1085,6 +1110,22 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT a, b,
                    ROUND(common / (sa.sz + sb.sz - common), 4) AS jaccard
+            FROM com JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        """,
+        "ngram3_jaccard": """
+            WITH docs AS (SELECT * FROM documents WHERE doc_id < 30),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       substring(text, CAST(i AS INT), 3) AS g
+                FROM docs, (SELECT unnest(range(1, 2000)) AS i) r
+                WHERE i <= length(text) - 2),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            com AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+                FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+            SELECT a, b,
+                   ROUND(common / (sa.sz + sb.sz - common), 4) AS jaccard3
             FROM com JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         """,
         "simhash": f"""
