@@ -606,6 +606,13 @@ def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", *[F.round(c, 6).alias(c) for c in out.columns[1:]])
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: IVF-bucketed approximate top-k (recall vs exact
+    tested >=0.85 in pytest; rows-only here — approximate by design)."""
+    return KNN.cosine_topk_ivf(spark, _t(spark, sf_dir, "embeddings"),
+                               k=5, n_centroids=8, nprobe=6)
+
+
 def q_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN fast path: broadcast matrix + numpy matmul in mapInPandas
     (same results as q_ann_cosine_topk up to FP rounding; rows-only)."""
@@ -673,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thinning_exact": q_thinning_exact,
         "harmonic_fit": q_harmonic_fit,
         "cosine_topk_blocked": q_cosine_topk_blocked,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
         "image_invariants": q_image_invariants,
     }
 
