@@ -314,7 +314,18 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
 
     if spark is None:
         spark = points.sparkSession
-    # broadcast hot-cell item sets (probe columns only, id-sorted)
+    # broadcast hot-cell item sets (probe columns only, id-sorted).
+    # Guard: the broadcast is bounded by |hot cells|·threshold-ish rows;
+    # if a pathological plan would collect too much, fail loudly with the
+    # remedy (finer cell level or higher threshold → two-level split)
+    # rather than silently OOM-ing the driver.
+    n_hot_rows = hot_df.count()
+    max_broadcast = 20_000_000
+    if n_hot_rows > max_broadcast:
+        raise ValueError(
+            f"hot-cell broadcast would carry {n_hot_rows} rows "
+            f"(> {max_broadcast}); raise salt_threshold, use a finer "
+            "cell level, or split hot cells hierarchically before kNN")
     rows = hot_df.select(cell_col, id_col, hash_col).collect()
     by_cell: dict = {}
     for r in rows:

@@ -191,3 +191,29 @@ def test_codegen_assign_equals_rtree(spark, fixture_dir, poly_index):
     b = sorted((r["image_id"], r["unit_id"]) for r in
                sj.assign_tiles_codegen(pts, poly_index).collect())
     assert a == b
+
+
+def test_assign_tiles_concave_polygons(spark):
+    """The R-tree probe path must handle NON-convex polygons (where the
+    codegen strategy refuses): L-shape and notched rectangle vs brute
+    force on a point grid."""
+    L = (np.array([0, 4, 4, 2, 2, 0], float), np.array([0, 0, 2, 2, 4, 4], float))
+    notch = (np.array([5, 9, 9, 7.5, 7, 6.5, 5], float),
+             np.array([0, 0, 4, 4, 1.5, 4, 4], float))
+    pi = geom.PolygonIndex([1, 2], [L[0], notch[0]], [L[1], notch[1]])
+    rng = np.random.default_rng(4)
+    px = rng.random(2000) * 10 - 0.5
+    py = rng.random(2000) * 5 - 0.5
+    pdf = spark.createDataFrame(
+        [(int(i), float(px[i]), float(py[i])) for i in range(2000)],
+        "pt_id long, lon double, lat double")
+    got = {r["pt_id"]: r["unit_id"] for r in
+           sj.assign_tiles(spark, pdf, pi, keep_cols=("pt_id",),
+                           prefilter=False).collect()}
+    ti, tu = pi.probe(px, py)
+    truth = {int(i): int(u) for i, u in zip(ti, tu)}
+    assert got == truth
+    # and codegen correctly refuses the concave set
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not strictly convex"):
+        sj.assign_tiles_codegen(pdf, pi)
