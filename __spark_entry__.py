@@ -133,7 +133,7 @@ def q_focal_neighbor_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                               (F.col("iy") + dy).alias("iy"),
                               F.col("n").alias("nn"))
             out = nb if out is None else out.unionByName(nb)
-    nbr = out.groupBy("ix", "iy").agg(F.sum("nn").alias("nbr_sum"))
+    nbr = out.groupBy("ix", "iy").agg(F.sum("nn").cast("long").alias("nbr_sum"))
     return cells.join(nbr, ["ix", "iy"]).select("ix", "iy", "n", "nbr_sum")
 
 
@@ -407,7 +407,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = sec - F.lag(sec, 1).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = ev.select("user_id", "event_id", "value",
-                     F.sum(is_new).over(w).alias("session_seq"))
+                     F.sum(is_new).over(w).cast("long").alias("session_seq"))
     return (sess.groupBy("user_id", "session_seq")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
@@ -508,7 +508,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_signatures(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "mh0", "mh1", "mh2", "mh3")
+        "doc_id", *[f"mh{i}" for i in range(len(DD.MINHASH_PARAMS))])
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,15 +699,28 @@ def oracle_sql() -> dict[str, str]:
     dot64 = O.dot_product_sql("a.embedding", "b.embedding", 64)
     simhash16 = O.simhash_agg_sql("h", 16)
 
+    # Shuffle-free token ids: md5-hex48 hash, identical on both engines
+    # (operators.text.token_tid / token_tid_sql). No dictionary CTE.
+    tid_sql = T.token_tid_sql("token")
     tok_cte = """
         toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
         ),
-        dtoks AS (SELECT DISTINCT doc_id, token FROM toks),
-        dict AS (
-            SELECT token, DENSE_RANK() OVER (ORDER BY token) AS tid
-            FROM (SELECT DISTINCT token FROM toks)
-        )"""
+        dtoks AS (SELECT DISTINCT doc_id, token FROM toks)"""
+    mh_select = ",\n                   ".join(
+        f"MIN(((tid % {M31}) * {a} + {b}) % {M31}) AS mh{i}"
+        for i, (a, b) in enumerate(mh))
+    lsh_bands = [[f"mh{band_size * i + j}" for j in range(2)]
+                 for band_size in [2] for i in range(len(mh) // 2)]
+    lsh_bucket_ctes = ",\n            ".join(
+        f"ok{i} AS (SELECT {c[0]}, {c[1]} FROM sig GROUP BY 1, 2"
+        f" HAVING COUNT(*) <= 64)"
+        for i, c in enumerate(lsh_bands))
+    lsh_union = "\n                UNION ALL\n                ".join(
+        f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x"
+        f" JOIN ok{i} USING ({c[0]}, {c[1]})"
+        f" JOIN sig y USING ({c[0]}, {c[1]}) WHERE x.doc_id < y.doc_id"
+        for i, c in enumerate(lsh_bands))
 
     return {
         "tile_assignment": f"""
@@ -753,7 +766,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(FLOOR((lat + 20.5) / 7.0 * 32.0) AS BIGINT) AS iy,
                        COUNT(*) AS n
                 FROM pts GROUP BY 1, 2)
-            SELECT a.ix, a.iy, a.n, SUM(b.n) AS nbr_sum
+            SELECT a.ix, a.iy, a.n, CAST(SUM(b.n) AS BIGINT) AS nbr_sum
             FROM cells a JOIN cells b
               ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
              AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
@@ -991,8 +1004,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
             s AS (
                 SELECT user_id, value,
-                       SUM(is_new) OVER (PARTITION BY user_id
-                                         ORDER BY ts ASC, event_id ASC) AS session_seq
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                              ORDER BY ts ASC, event_id ASC)
+                            AS BIGINT) AS session_seq
                 FROM g)
             SELECT user_id, session_seq, COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
@@ -1081,30 +1095,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": f"""
             WITH {tok_cte},
-            dt AS (SELECT d.doc_id, dict.tid FROM dtoks d JOIN dict USING (token))
+            dt AS (SELECT doc_id, {tid_sql} AS tid FROM dtoks)
             SELECT doc_id,
-                   MIN((tid * {mh[0][0]} + {mh[0][1]}) % {M31}) AS mh0,
-                   MIN((tid * {mh[1][0]} + {mh[1][1]}) % {M31}) AS mh1,
-                   MIN((tid * {mh[2][0]} + {mh[2][1]}) % {M31}) AS mh2,
-                   MIN((tid * {mh[3][0]} + {mh[3][1]}) % {M31}) AS mh3
+                   {mh_select}
             FROM dt GROUP BY doc_id
         """,
         "lsh_pairs": f"""
             WITH {tok_cte},
-            dt AS (SELECT d.doc_id, dict.tid FROM dtoks d JOIN dict USING (token)),
+            dt AS (SELECT doc_id, {tid_sql} AS tid FROM dtoks),
             sig AS (
                 SELECT doc_id,
-                       MIN((tid * {mh[0][0]} + {mh[0][1]}) % {M31}) AS mh0,
-                       MIN((tid * {mh[1][0]} + {mh[1][1]}) % {M31}) AS mh1,
-                       MIN((tid * {mh[2][0]} + {mh[2][1]}) % {M31}) AS mh2,
-                       MIN((tid * {mh[3][0]} + {mh[3][1]}) % {M31}) AS mh3
-                FROM dt GROUP BY doc_id)
+                   {mh_select}
+                FROM dt GROUP BY doc_id),
+            {lsh_bucket_ctes}
             SELECT DISTINCT a, b FROM (
-                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
-                  ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
-                UNION ALL
-                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
-                  ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id)
+                {lsh_union})
         """,
         "jaccard_pairs": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),
@@ -1139,8 +1144,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH {tok_cte},
             th AS (
-                SELECT t.doc_id, (dict.tid * 48271) % {M31} AS h
-                FROM toks t JOIN dict USING (token))
+                SELECT doc_id, (({tid_sql} % {M31}) * 48271) % {M31} AS h
+                FROM toks)
             SELECT doc_id, {simhash16} AS simhash FROM th GROUP BY doc_id
         """,
         "text_quality": f"""
@@ -1174,9 +1179,9 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(0, LEN(string_split(text, ' ')))) AS pos
                 FROM documents)
             SELECT doc_id,
-                   SUM(CAST(LENGTH(token) AS BIGINT)
-                       * CAST(POW(31.0, CAST(pos % 8 AS DOUBLE)) AS BIGINT))
-                       % 1000000007 AS fp
+                   CAST(SUM(CAST(LENGTH(token) AS BIGINT)
+                            * CAST(POW(31.0, CAST(pos % 8 AS DOUBLE)) AS BIGINT))
+                        % 1000000007 AS BIGINT) AS fp
             FROM toks GROUP BY doc_id
         """,
         "ann_cosine_topk": f"""

@@ -7,9 +7,10 @@ generation is an equi-join on (band, band-signature) with skew handled by
 AQE, and Jaccard verification touches only candidate pairs, never the
 quadratic cross product.
 
-Token hashing uses the shared Lehmer arithmetic over a deterministic
-token dictionary (operators.text.token_dictionary) so every number here
-is replayable in ANSI SQL by the DuckDB oracle.
+Token ids come from the shuffle-free md5-derived hash
+(operators.text.token_tid — a narrow map, no dictionary build, no global
+sort), and the Lehmer permutations run over ``tid % M31`` so every number
+here stays in int64 and is replayable in ANSI SQL by the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -21,8 +22,21 @@ from . import text as T
 
 M31 = 2147483647
 
-#: (a, b) parameters of the k MinHash permutations h_k(x) = (a·x + b) mod M31.
-MINHASH_PARAMS = [(48271, 1), (69621, 7), (16807, 13), (40692, 29)]
+#: (a, b) parameters of the k MinHash permutations
+#: h_k(x) = (a·(x mod M31) + b) mod M31. Eight full-period Lehmer
+#: multipliers mod 2^31-1 (MINSTD family + L'Ecuyer's tables); with
+#: band_size=2 this gives b=4 bands of r=2 rows — LSH collision curve
+#: P(candidate) = 1-(1-J²)⁴, i.e. a ~0.5-Jaccard knee.
+MINHASH_PARAMS = [(48271, 1), (69621, 7), (16807, 13), (40692, 29),
+                  (62089911, 31), (742938285, 43), (950706376, 59),
+                  (1226874159, 71)]
+
+
+def _perm(tid: F.Column, a: int, b: int) -> F.Column:
+    """Lehmer permutation over the 31-bit residue of a 48-bit token id;
+    (M31-1)·a + b < 2^63 for every multiplier above, so the arithmetic
+    is exact int64 on both Spark and DuckDB."""
+    return ((tid % M31) * F.lit(a) + F.lit(b)) % F.lit(M31)
 
 
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -35,10 +49,11 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def doc_token_ids(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, tid) distinct pairs: documents as token-id sets."""
+    """(doc_id, tid) distinct pairs: documents as token-id sets.
+    tid is the shuffle-free hash id — the whole thing is one narrow map
+    plus the distinct's hash-agg; no dictionary join."""
     tok = T.tokens(df, text_col, id_col).select(id_col, "token").distinct()
-    dic = T.token_dictionary(tok)
-    return tok.join(dic, "token").select(id_col, "tid")
+    return tok.select(id_col, T.token_tid(F.col("token")).alias("tid"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -47,25 +62,39 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     One explode + one hash-agg; signature width k is constant."""
     dt = doc_token_ids(df, text_col, id_col)
     aggs = [
-        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(M31)).alias(f"mh{i}")
+        F.min(_perm(F.col("tid"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     ]
     return dt.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, band_size: int = 2,
+                        bucket_cap: int | None = 64,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """LSH banding over the MinHash signature: pairs agreeing on any band.
     Bands of `band_size` hashes; equi-join per band on the band tuple,
-    unioned and deduped. Returns (a, b) with a < b."""
+    unioned and deduped. Returns (a, b) with a < b.
+
+    ``bucket_cap`` drops band buckets holding more than that many docs
+    before pairing — a hot bucket (boilerplate, empty docs) otherwise
+    goes quadratic at corpus scale. Capped buckets are almost always
+    exact-duplicate clusters better handled by exact dedup; pass None to
+    disable (test-scale only). The cap is an aggregate+semi-join on the
+    same band key as the pair join, so AQE coalesces the two shuffles."""
     sig = minhash_signatures(df, text_col, id_col)
     k = len(MINHASH_PARAMS)
     pairs = None
     for b0 in range(0, k, band_size):
         cols = [f"mh{i}" for i in range(b0, min(b0 + band_size, k))]
-        left = sig.select(F.col(id_col).alias("a"), *cols)
-        right = sig.select(F.col(id_col).alias("b"), *cols)
-        p = left.join(right, on=cols).where(F.col("a") < F.col("b")).select("a", "b")
+        side = sig.select(F.col(id_col).alias("a"), *cols)
+        if bucket_cap is not None:
+            ok = (side.groupBy(*cols)
+                  .agg(F.count(F.lit(1)).alias("_bn"))
+                  .where(F.col("_bn") <= bucket_cap)
+                  .drop("_bn"))
+            side = side.join(ok, on=cols, how="left_semi")
+        right = side.select(F.col("a").alias("b"), *cols)
+        p = side.join(right, on=cols).where(F.col("a") < F.col("b")).select("a", "b")
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
 
@@ -100,9 +129,8 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
     sum of token-hash bit-j contributions is positive. Token hash =
     Lehmer(tid); multiplicity counts (natural frequency weighting)."""
     tok = T.tokens(df, text_col, id_col).select(id_col, "token")
-    dic = T.token_dictionary(tok.distinct())
-    dt = tok.join(dic, "token").select(
-        id_col, ((F.col("tid") * F.lit(48271)) % F.lit(M31)).alias("h"))
+    dt = tok.select(
+        id_col, _perm(T.token_tid(F.col("token")), 48271, 0).alias("h"))
     acc = F.lit(0).cast("long")
     for j in range(bits):
         contrib = F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,

@@ -3,9 +3,9 @@
 Training-data-pipeline surface (driver requirement): language-ID
 heuristics, quality scoring, token counting, document fingerprinting —
 all expressed relationally (explode + join + agg) or as JVM column
-expressions so they survive 100 TB: tokenization is a narrow map, the
-token dictionary is a distinct+rank (one shuffle, vocabulary-sized
-output), and every scoring aggregate is a partial-combining hash-agg.
+expressions so they survive 100 TB: tokenization is a narrow map, token
+ids are a shuffle-free md5-derived hash (token_tid — no dictionary
+build), and every scoring aggregate is a partial-combining hash-agg.
 """
 
 from __future__ import annotations
@@ -26,10 +26,32 @@ def tokens(df: DataFrame, text_col: str = "text",
         id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"))
 
 
+def token_tid(col) -> F.Column:
+    """Shuffle-free 48-bit token id: the first 12 hex chars of md5(token)
+    parsed as an integer. A pure narrow map — no dictionary build, no
+    join, no sort — so token ids cost nothing at 100 TB. Deterministic
+    across engines: DuckDB replays it as
+    ``CAST('0x' || substring(md5(token), 1, 12) AS BIGINT)``
+    (see token_tid_sql). 48 bits keeps Lehmer arithmetic
+    ``((tid % M31) * a + b) % M31`` inside int64 on both engines and
+    makes vocab collisions negligible below ~10^6 tokens (birthday
+    bound n²/2^49); widen to 15 hex chars if a web-scale vocab needs it.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def token_tid_sql(col: str = "token") -> str:
+    """ANSI/DuckDB replay of token_tid — identical integers per token."""
+    return f"CAST('0x' || substring(md5({col}), 1, 12) AS BIGINT)"
+
+
 def token_dictionary(tok: DataFrame) -> DataFrame:
-    """(token, tid) — dense ids by lexicographic token order. Deterministic
-    across engines and partitionings; vocabulary-sized output, so the
-    window over a single ordering is bounded by |V|, not |corpus|."""
+    """(token, tid) — dense ids by lexicographic token order.
+
+    TEST-SCALE ONLY: the dense_rank runs over a single global ordering
+    (one-partition exchange), which is a scale-killer on a web corpus.
+    The production id path is token_tid (hash-based, shuffle-free);
+    this dictionary remains for oracle variants that need dense ids."""
     w = Window.orderBy("token")
     return (tok.select("token").distinct()
             .withColumn("tid", F.dense_rank().over(w)))
@@ -80,4 +102,5 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     t = tokens(df, text_col, id_col)
     weight = F.pow(F.lit(31.0), (F.col("pos") % 8).cast("double")).cast("long")
     term = F.length("token").cast("long") * weight
-    return t.groupBy(id_col).agg((F.sum(term) % F.lit(1_000_000_007)).alias("fp"))
+    return t.groupBy(id_col).agg(
+        (F.sum(term) % F.lit(1_000_000_007)).cast("long").alias("fp"))

@@ -1,0 +1,93 @@
+"""Dedup-pipeline scale-shape tests: hash token ids are shuffle-free,
+LSH candidate density collapses on dispersed corpora, and the hot-bucket
+cap keeps degenerate buckets from going quadratic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaza_lcms_spark.operators import dedup as DD
+from kaza_lcms_spark.operators import text as T
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def dispersed_docs(spark):
+    """300 docs with pairwise-disjoint 12-token vocabularies: no pair
+    shares a single token, so any LSH candidate is pure hash noise."""
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(300)]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_minhash_plan_has_no_single_partition_exchange(spark, dispersed_docs):
+    """The round-1 token dictionary sorted the whole vocabulary on one
+    reducer; the hash-id path must plan with zero SinglePartition
+    exchanges and zero global sorts."""
+    plan = plan_of(DD.minhash_signatures(dispersed_docs))
+    assert "SinglePartition" not in plan, plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan
+
+
+def test_token_tid_is_narrow(spark, dispersed_docs):
+    """doc_token_ids = explode + distinct only: exactly one Exchange (the
+    distinct's hash-agg shuffle), no join, no dictionary."""
+    plan = plan_of(DD.doc_token_ids(dispersed_docs))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_lsh_density_dispersed(spark, dispersed_docs):
+    """Candidate density on a dispersed corpus must be far below
+    all-pairs (round-1 toy parameters produced 63%)."""
+    n = dispersed_docs.count()
+    cand = DD.lsh_candidate_pairs(dispersed_docs).count()
+    density = cand / (n * (n - 1) / 2)
+    assert density < 0.01, f"LSH density {density:.4f} not << all-pairs"
+
+
+def test_lsh_recovers_true_near_dups(spark):
+    """Near-identical docs (11/12 shared tokens, J≈0.85) must collide in
+    at least one band; with b=4,r=2 bands P(miss) = (1-J²)⁴ ≈ 0.6% per
+    pair — all 40 planted pairs should surface."""
+    rows = []
+    for i in range(40):
+        base = [f"w{i}_{j}" for j in range(12)]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(base[:-1] + [f"alt{i}"])))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["a"], r["b"]) for r in DD.lsh_candidate_pairs(docs).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert len(planted & got) >= 38, f"only {len(planted & got)}/40 recovered"
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """200 identical docs form one hot bucket (19,900 all-pairs); the cap
+    drops it while unrelated near-dup pairs survive."""
+    rows = [(i, "same boilerplate text every time") for i in range(200)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta"),
+             (1001, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = DD.lsh_candidate_pairs(docs, bucket_cap=64)
+    uncapped = DD.lsh_candidate_pairs(docs, bucket_cap=None)
+    assert uncapped.count() >= 19900
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert all(a < 1000 or b >= 1000 for a, b in got)  # hot bucket dropped
+    assert (1000, 1001) in got  # real near-dup kept
+
+
+def test_token_tid_matches_duckdb(spark):
+    """The Spark token_tid expression and its SQL replay string produce
+    identical integers (the whole oracle strategy rests on this)."""
+    import duckdb
+    toks = ["hello", "world", "", "ünïcode", "a b", "ZZZ"]
+    sdf = spark.createDataFrame([(t,) for t in toks], ["token"])
+    got = {r["token"]: r["tid"] for r in
+           sdf.select("token", T.token_tid(F.col("token")).alias("tid")).collect()}
+    con = duckdb.connect()
+    for t in toks:
+        want = con.execute(
+            f"SELECT {T.token_tid_sql('?')}".replace("md5(?)", "md5(?)"), [t]
+        ).fetchone()[0]
+        assert got[t] == want, t

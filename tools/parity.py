@@ -69,9 +69,10 @@ def main():
             n_pass += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = tbl.column_names
+            dtypes = {f.name: str(f.type) for f in tbl.schema}
+            drows = [tuple(r.values()) for r in tbl.to_pylist()]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             n_fail += 1
@@ -79,6 +80,22 @@ def main():
         issues = []
         if sorted(scols) != sorted(dcols):
             issues.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        # Driver-hash proxy: a DuckDB aggregate widened to int128/decimal
+        # hashes differently from Spark's int64/double even when values
+        # match — require a CAST on the oracle side.
+        stypes = dict(sdf.dtypes)
+        norm = {"int8": "i", "int16": "i", "int32": "i", "int64": "i",
+                "smallint": "i", "int": "i", "bigint": "i", "tinyint": "i",
+                "float": "f", "double": "f", "float32": "f", "float64": "f",
+                "halffloat": "f", "string": "s", "large_string": "s",
+                "bool": "b", "boolean": "b", "date": "d", "date32[day]": "d"}
+        for c in scols:
+            st, dt = stypes.get(c, "?"), dtypes.get(c, "?")
+            a = norm.get(st, st if not st.startswith("timestamp") else "t")
+            b = norm.get(dt, dt if not dt.startswith("timestamp") else "t")
+            if a != b:
+                issues.append(f"type skew on {c}: spark {st} vs duckdb {dt}"
+                              " (driver hash will mismatch — add CASTs)")
         if len(srows) != len(drows):
             issues.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not issues:
