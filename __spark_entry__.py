@@ -35,6 +35,8 @@ from kaza_lcms_spark.operators import (
 )
 
 M31 = D.M31
+_D2R = 3.141592653589793 / 180.0     # degrees→radians, shared literal text
+_HPI = 3.141592653589793 / 2.0
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -181,6 +183,26 @@ def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("northness", 6).alias("northness"))
 
 
+def q_terrain_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 full: Sentinel-1 volumetric terrain correction — gamma0
+    flattening, local incidence angle, layover/shadow masks
+    (/root/reference/src/misc/sentinel1.py:96-143) as pure column
+    algebra over the slope/aspect grid. Pseudo backscatter/incidence
+    derive deterministically from the grid so the oracle replays them."""
+    from kaza_lcms_spark.operators import focal as FO
+    cells = (_grid_cells(spark, sf_dir)
+             .withColumn("db", F.lit(-18.0) + (F.col("n") % 7).cast("double"))
+             .withColumn("theta_deg",
+                         F.lit(30.0) + (F.col("ix") % 8).cast("double")))
+    out = FO.terrain_correction(cells, "db", "theta_deg", phi_i_deg=190.0)
+    return out.select(
+        "ix", "iy",
+        F.round("gamma0_db", 6).alias("gamma0_db"),
+        F.round("gamma0_vol_db", 6).alias("gamma0_vol_db"),
+        F.round("theta_lia", 6).alias("theta_lia"),
+        "layover", "shadow")
+
+
 def q_lee_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: Lee speckle filter = focal stats + piecewise blend
     (/root/reference/src/misc/sentinel1.py:165-205)."""
@@ -276,11 +298,10 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("intercept", 6).alias("intercept"))
 
 
-def q_harmonic_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: harmonic regression y ~ b0 + b1·cos(ωt) + b2·sin(ωt) per group,
-    solved closed-form (3×3 Cramer) from sufficient statistics — fully
-    JVM-side, SQL-replayable (reference ee.Reducer.linearRegression,
-    /root/reference/src/utils/harmonics.py:14-46)."""
+def _harmonic3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 3×3 Cramer solve for y ~ b0 + b_cos·cos(ωt) + b_sin·sin(ωt):
+    one hash-agg of sufficient statistics, closed-form determinant ratios
+    (unrounded) — fully JVM-side, SQL-replayable."""
     ev = _t(spark, sf_dir, "events")
     t = (F.unix_timestamp(F.date_trunc("second", F.col("ts")))
          - F.lit(1704067200)) / F.lit(86400.0 * 365.25)
@@ -303,11 +324,54 @@ def q_harmonic_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
           + ss * (sc * ssy - scy * ss))
     d2 = (n * (scc * ssy - scy * scs) - sc * (sc * ssy - scy * ss)
           + sy * (sc * scs - scc * ss))
-    return g.select(
-        "event_type",
-        F.round(d0 / det, 4).alias("b0"),
-        F.round(d1 / det, 4).alias("b_cos"),
-        F.round(d2 / det, 4).alias("b_sin"))
+    return g.select("event_type", (d0 / det).alias("_b0"),
+                    (d1 / det).alias("_bc"), (d2 / det).alias("_bs"))
+
+
+def q_harmonic_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: harmonic regression coefficients per group (3×3 Cramer;
+    reference ee.Reducer.linearRegression,
+    /root/reference/src/utils/harmonics.py:14-46)."""
+    h = _harmonic3(spark, sf_dir)
+    return h.select("event_type", F.round("_b0", 4).alias("b0"),
+                    F.round("_bc", 4).alias("b_cos"),
+                    F.round("_bs", 4).alias("b_sin"))
+
+
+def q_harmonic_phase_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 output bands: phase = atan2(b_cos, b_sin), amplitude =
+    hypot(b_cos, b_sin) — the composite feature bands the reference
+    derives from the fitted coefficients
+    (/root/reference/src/utils/harmonics.py:35-46)."""
+    h = _harmonic3(spark, sf_dir)
+    amp = F.sqrt(F.col("_bc") * F.col("_bc") + F.col("_bs") * F.col("_bs"))
+    return h.select("event_type",
+                    F.round(F.atan2(F.col("_bc"), F.col("_bs")), 4).alias("phase"),
+                    F.round(amp, 4).alias("amplitude"))
+
+
+def q_harmonic_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: HSV→RGB viz of harmonic phase/amplitude — the reference's
+    harmonicRGB (h = unitScale(phase, −π, π), s = amplitude·2.5, v = 1;
+    /root/reference/src/utils/harmonics.py:49-60) as JVM column algebra."""
+    pi = 3.141592653589793
+    h3 = _harmonic3(spark, sf_dir)
+    phase = F.atan2(F.col("_bc"), F.col("_bs"))
+    amp = F.sqrt(F.col("_bc") * F.col("_bc") + F.col("_bs") * F.col("_bs"))
+    h = (phase + F.lit(pi)) / F.lit(2.0 * pi)
+    s = F.least(amp * F.lit(2.5), F.lit(1.0))
+    r, g, b = KF.hsv_to_rgb(h, s, F.lit(1.0))
+    return h3.select("event_type", F.round(r, 6).alias("r"),
+                     F.round(g, 6).alias("g"), F.round(b, 6).alias("b"))
+
+
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set intersection — customers present in BOTH the high-value
+    and the urgent-priority order key sets (distinct semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersect(b)
 
 
 def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,9 +678,12 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN fast path: broadcast matrix + numpy matmul in mapInPandas
-    (same results as q_ann_cosine_topk up to FP rounding; rows-only)."""
-    return KNN.cosine_topk_blocked(spark, _t(spark, sf_dir, "embeddings"), k=5)
+    """ANN fast path: distributed block-grid BLAS matmul (no driver
+    collect). Exact, so oracle-gated on the selected neighbor ids; the
+    cos column is excluded because BLAS sum order differs from the SQL
+    fold at the last ulp."""
+    return (KNN.cosine_topk_blocked(spark, _t(spark, sf_dir, "embeddings"), k=5)
+            .select("vec_id", "neighbor_id"))
 
 
 # ================================================================ contract ==
@@ -637,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_neighbor_sum": q_focal_neighbor_sum,
         "focal_morphology": q_focal_morphology,
         "slope_aspect": q_slope_aspect,
+        "terrain_correction": q_terrain_correction,
         "lee_filter": q_lee_filter,
         "shadow_project": q_shadow_project,
         "ceo_format": q_ceo_format,
@@ -647,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q_q1_pricing,
         "ols_trend": q_ols_trend,
         "harmonic_cos": q_harmonic_cos,
+        "harmonic_phase_amp": q_harmonic_phase_amp,
+        "harmonic_rgb": q_harmonic_rgb,
+        "intersect_keys": q_intersect_keys,
         "window_hourly": q_window_hourly,
         "json_props": q_json_props,
         "date_string_funcs": q_date_string_funcs,
@@ -702,6 +773,39 @@ def oracle_sql() -> dict[str, str]:
     # Shuffle-free token ids: md5-hex48 hash, identical on both engines
     # (operators.text.token_tid / token_tid_sql). No dictionary CTE.
     tid_sql = T.token_tid_sql("token")
+    harm_coef_cte = f"""
+            e AS (
+                SELECT event_type,
+                       cos({2.0 * 3.141592653589793!r} *
+                           ((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                             - 1704067200) / CAST({86400.0 * 365.25!r} AS DOUBLE))) AS c,
+                       sin({2.0 * 3.141592653589793!r} *
+                           ((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                             - 1704067200) / CAST({86400.0 * 365.25!r} AS DOUBLE))) AS s,
+                       value AS y
+                FROM events),
+            g AS (
+                SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(c) AS sc, SUM(s) AS ss, SUM(c*c) AS scc,
+                       SUM(s*s) AS sss, SUM(c*s) AS scs, SUM(y) AS sy,
+                       SUM(c*y) AS scy, SUM(s*y) AS ssy
+                FROM e GROUP BY 1),
+            coef AS (
+                SELECT event_type,
+                       (sy*(scc*sss - scs*scs) - sc*(scy*sss - scs*ssy)
+                        + ss*(scy*scs - scc*ssy))
+                       / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+                          + ss*(sc*scs - scc*ss)) AS b0u,
+                       (n*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss)
+                        + ss*(sc*ssy - scy*ss))
+                       / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+                          + ss*(sc*scs - scc*ss)) AS bcu,
+                       (n*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss)
+                        + sy*(sc*scs - scc*ss))
+                       / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+                          + ss*(sc*scs - scc*ss)) AS bsu
+                FROM g)"""
+
     tok_cte = """
         toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -806,6 +910,49 @@ def oracle_sql() -> dict[str, str]:
                              ELSE ATAN2(dzdy, -dzdx) END), 6) AS northness
             FROM g
         """,
+        "terrain_correction": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            cells AS ({_GRID_SQL}),
+            g AS (
+                SELECT a.ix, a.iy, a.n,
+                       (COALESCE(e.z, a.z) - COALESCE(w.z, a.z)) / 2.0 AS dzdx,
+                       (COALESCE(n2.z, a.z) - COALESCE(s.z, a.z)) / 2.0 AS dzdy
+                FROM cells a
+                LEFT JOIN cells e ON e.ix = a.ix + 1 AND e.iy = a.iy
+                LEFT JOIN cells w ON w.ix = a.ix - 1 AND w.iy = a.iy
+                LEFT JOIN cells n2 ON n2.ix = a.ix AND n2.iy = a.iy + 1
+                LEFT JOIN cells s ON s.ix = a.ix AND s.iy = a.iy - 1),
+            sa AS (
+                SELECT ix, iy, n,
+                       ATAN(SQRT(dzdx*dzdx + dzdy*dzdy)) AS slope,
+                       CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 0.0
+                            ELSE ATAN2(dzdy, -dzdx) END AS aspect
+                FROM g),
+            t AS (
+                SELECT ix, iy, slope, aspect,
+                       CAST(-18.0 AS DOUBLE) + (n % 7) AS db,
+                       (CAST(30.0 AS DOUBLE) + (ix % 8)) * {_D2R!r} AS theta
+                FROM sa),
+            m AS (
+                SELECT ix, iy, db, theta,
+                       ATAN(TAN(slope) * COS({190.0 * _D2R!r} - aspect)) AS alpha_r,
+                       ATAN(TAN(slope) * SIN({190.0 * _D2R!r} - aspect)) AS alpha_az
+                FROM t),
+            o AS (
+                SELECT ix, iy, theta, alpha_r,
+                       ACOS(COS(alpha_az) * COS(theta - alpha_r)) AS theta_lia,
+                       POW(10.0, db / 10.0) / COS(theta) AS gamma0,
+                       ABS(TAN({_HPI!r} - theta + alpha_r)
+                           / TAN({_HPI!r} - theta)) AS vol
+                FROM m)
+            SELECT ix, iy,
+                   ROUND(10.0 * LOG10(gamma0), 6) AS gamma0_db,
+                   ROUND(10.0 * LOG10(gamma0 / vol), 6) AS gamma0_vol_db,
+                   ROUND(theta_lia, 6) AS theta_lia,
+                   CAST(alpha_r < theta AS INT) AS layover,
+                   CAST(theta_lia < {85.0 * _D2R!r} AS INT) AS shadow
+            FROM o
+        """,
         "lee_filter": f"""
             WITH pts AS ({_POINTS_SQL}),
             cells AS ({_GRID_SQL}),
@@ -903,36 +1050,52 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1
         """,
         "harmonic_cos": f"""
-            WITH e AS (
-                SELECT event_type,
-                       cos({2.0 * 3.141592653589793!r} *
-                           ((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
-                             - 1704067200) / CAST({86400.0 * 365.25!r} AS DOUBLE))) AS c,
-                       sin({2.0 * 3.141592653589793!r} *
-                           ((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
-                             - 1704067200) / CAST({86400.0 * 365.25!r} AS DOUBLE))) AS s,
-                       value AS y
-                FROM events),
-            g AS (
-                SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
-                       SUM(c) AS sc, SUM(s) AS ss, SUM(c*c) AS scc,
-                       SUM(s*s) AS sss, SUM(c*s) AS scs, SUM(y) AS sy,
-                       SUM(c*y) AS scy, SUM(s*y) AS ssy
-                FROM e GROUP BY 1)
+            WITH {harm_coef_cte}
+            SELECT event_type, ROUND(b0u, 4) AS b0,
+                   ROUND(bcu, 4) AS b_cos, ROUND(bsu, 4) AS b_sin
+            FROM coef
+        """,
+        "harmonic_phase_amp": f"""
+            WITH {harm_coef_cte}
             SELECT event_type,
-                   ROUND((sy*(scc*sss - scs*scs) - sc*(scy*sss - scs*ssy)
-                          + ss*(scy*scs - scc*ssy))
-                         / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
-                            + ss*(sc*scs - scc*ss)), 4) AS b0,
-                   ROUND((n*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss)
-                          + ss*(sc*ssy - scy*ss))
-                         / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
-                            + ss*(sc*scs - scc*ss)), 4) AS b_cos,
-                   ROUND((n*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss)
-                          + sy*(sc*scs - scc*ss))
-                         / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
-                            + ss*(sc*scs - scc*ss)), 4) AS b_sin
-            FROM g
+                   ROUND(atan2(bcu, bsu), 4) AS phase,
+                   ROUND(sqrt(bcu*bcu + bsu*bsu), 4) AS amplitude
+            FROM coef
+        """,
+        "harmonic_rgb": f"""
+            WITH {harm_coef_cte},
+            hsv AS (
+                SELECT event_type,
+                       (atan2(bcu, bsu) + {3.141592653589793!r})
+                           / {2.0 * 3.141592653589793!r} AS h,
+                       LEAST(sqrt(bcu*bcu + bsu*bsu) * CAST(2.5 AS DOUBLE),
+                             CAST(1.0 AS DOUBLE)) AS s,
+                       CAST(1.0 AS DOUBLE) AS v
+                FROM coef),
+            sx AS (
+                SELECT event_type, s, v,
+                       CAST(FLOOR(h * 6.0) AS BIGINT) % 6 AS i,
+                       h * 6.0 - FLOOR(h * 6.0) AS f
+                FROM hsv),
+            pqt AS (
+                SELECT event_type, i, v,
+                       v * (1.0 - s) AS p,
+                       v * (1.0 - f * s) AS q,
+                       v * (1.0 - (1.0 - f) * s) AS t
+                FROM sx)
+            SELECT event_type,
+                   ROUND(CASE i WHEN 0 THEN v WHEN 1 THEN q WHEN 2 THEN p
+                                WHEN 3 THEN p WHEN 4 THEN t ELSE v END, 6) AS r,
+                   ROUND(CASE i WHEN 0 THEN t WHEN 1 THEN v WHEN 2 THEN v
+                                WHEN 3 THEN q WHEN 4 THEN p ELSE p END, 6) AS g,
+                   ROUND(CASE i WHEN 0 THEN p WHEN 1 THEN p WHEN 2 THEN t
+                                WHEN 3 THEN v WHEN 4 THEN v ELSE q END, 6) AS b
+            FROM pqt
+        """,
+        "intersect_keys": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         """,
         "window_hourly": """
             SELECT event_type,
@@ -1188,6 +1351,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, neighbor_id, cos FROM (
                 SELECT a.vec_id, b.vec_id AS neighbor_id,
                        ROUND({dot64}, 4) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY {dot64} DESC, b.vec_id ASC) AS rn
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rn <= 5
+        """,
+        "cosine_topk_blocked": f"""
+            SELECT vec_id, neighbor_id FROM (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
                            ORDER BY {dot64} DESC, b.vec_id ASC) AS rn
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)

@@ -125,8 +125,13 @@ def main() -> None:
 
     extras["distance_pairs"] = bench("distance_pairs", dist)
 
-    # 5. percentile composite over lineitem at SF (hash-agg shuffle)
+    # 5. percentile composite over lineitem at SF (hash-agg shuffle) —
+    #    exact vs GK-sketch approx (the A1 scale path)
     bench("pct_composite", lambda: E.q_pct_composite(spark, sf_dir).collect())
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bench("pct_composite_approx",
+          lambda: C.percentile_composite_approx(
+              li, "l_returnflag", ["l_quantity"]).collect())
 
     # 6. minhash signatures over documents (explode + dictionary + agg)
     bench("minhash", lambda: E.q_minhash_signatures(spark, sf_dir).count())

@@ -70,3 +70,24 @@ def dot_fold(a: Column, b: Column) -> Column:
 
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot_fold(a, a))
+
+
+def hsv_to_rgb(h: Column, s: Column, v: Column) -> tuple[Column, Column, Column]:
+    """F13: HSV→RGB as pure column expressions (standard sextant formula;
+    the reference uses it to visualize harmonic phase/amplitude —
+    /root/reference/src/utils/harmonics.py:49-60 hsvToRgb). h, s, v in
+    [0, 1]; returns (r, g, b) columns in [0, 1]. SQL-replayable (CASE on
+    the sextant index)."""
+    h6 = h * F.lit(6.0)
+    i = F.floor(h6).cast("long") % F.lit(6)
+    f = h6 - F.floor(h6)
+    p = v * (F.lit(1.0) - s)
+    q = v * (F.lit(1.0) - f * s)
+    t = v * (F.lit(1.0) - (F.lit(1.0) - f) * s)
+    r = (F.when(i == 0, v).when(i == 1, q).when(i == 2, p)
+         .when(i == 3, p).when(i == 4, t).otherwise(v))
+    g = (F.when(i == 0, t).when(i == 1, v).when(i == 2, v)
+         .when(i == 3, q).when(i == 4, p).otherwise(p))
+    b = (F.when(i == 0, p).when(i == 1, p).when(i == 2, t)
+         .when(i == 3, v).when(i == 4, v).otherwise(q))
+    return r, g, b

@@ -35,6 +35,25 @@ def percentile_composite(df: DataFrame, group_col: str, band_cols: list[str],
     return df.groupBy(group_col).agg(*aggs)
 
 
+def percentile_composite_approx(df: DataFrame, group_col: str,
+                                band_cols: list[str],
+                                pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+                                accuracy: int = 10000) -> DataFrame:
+    """A1 scale path: approximate percentiles (Greenwald-Khanna sketch via
+    percentile_approx). Same output columns as percentile_composite; the
+    sketch merges map-side, so memory per group is O(accuracy) instead of
+    O(rows) — at 100 TB the exact `percentile` buffers every value of a
+    group on one reducer, the sketch does not. Error ≤ 1/accuracy of rank
+    (tested against the exact composite)."""
+    aggs = []
+    for b in band_cols:
+        for p in pcts:
+            name = f"p{int(p * 100)}_{b}"
+            aggs.append(
+                F.percentile_approx(F.col(b), F.lit(p), F.lit(accuracy)).alias(name))
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def mean_composite(df: DataFrame, group_col: str, band_cols: list[str]) -> DataFrame:
     return df.groupBy(group_col).agg(
         *[F.avg(b).alias(f"mean_{b}") for b in band_cols])
@@ -102,8 +121,9 @@ def harmonic_fit(df: DataFrame, group_col: str, t_col: str, y_col: str,
     return g.mapInPandas(lambda it: (solve(pdf) for pdf in it if len(pdf)), out_schema)
 
 
-def fractional_year(ts_col: F.Column, epoch_year: int = 2024) -> F.Column:
+def fractional_year(ts_col="ts", epoch_year: int = 2024) -> F.Column:
     """Time band: fractional years since epoch (reference:
-    src/utils/harmonics.py:63-77 'difference(epoch, year)')."""
+    src/utils/harmonics.py:63-77 'difference(epoch, year)'). `ts_col` is a
+    timestamp column name or Column."""
     epoch = F.lit(f"{epoch_year}-01-01 00:00:00").cast("timestamp")
-    return (F.unix_timestamp("ts") - F.unix_timestamp(epoch)) / F.lit(86400.0 * 365.25)
+    return (F.unix_timestamp(ts_col) - F.unix_timestamp(epoch)) / F.lit(86400.0 * 365.25)

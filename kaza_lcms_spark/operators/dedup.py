@@ -169,6 +169,11 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_rounds} "
+            "min-label-propagation rounds (component diameter too large). "
+            "Raise max_rounds — partial labels would mislabel clusters.")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

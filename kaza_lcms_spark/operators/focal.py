@@ -146,6 +146,51 @@ def slope_aspect(cells: DataFrame, z_col: str, cell_size: float = 1.0,
         F.sin(aspect).alias("eastness"), F.cos(aspect).alias("northness"))
 
 
+def terrain_correction(cells: DataFrame, db_col: str, theta_deg_col: str,
+                       phi_i_deg: float = 190.0, cell_size: float = 1.0,
+                       z_col: str = "z",
+                       ix_col: str = "ix", iy_col: str = "iy") -> DataFrame:
+    """W5 full Sentinel-1 radiometric terrain correction (volumetric
+    model): re-grounds /root/reference/src/misc/sentinel1.py:96-143
+    (Vollrath et al. angle algebra) as pure column expressions over the
+    slope/aspect grid — JVM-side, SQL-replayable, no Python in the path.
+
+    Per cell with backscatter ``db_col`` (sigma0, dB), incidence angle
+    ``theta_deg_col`` (degrees) and DEM ``z_col``:
+      phi_r      = phi_i − aspect                   (model geometry)
+      alpha_r    = atan(tan(slope)·cos(phi_r))      (range steepness, eq 2)
+      alpha_az   = atan(tan(slope)·sin(phi_r))      (azimuth steepness, eq 3)
+      theta_lia  = acos(cos(alpha_az)·cos(theta−alpha_r))  (local incidence, eq 4)
+      gamma0     = 10^(db/10) / cos(theta)          (flat-earth gamma0)
+      volModel   = |tan(90°−theta+alpha_r) / tan(90°−theta)|
+      gamma0_vol = gamma0 / volModel                (volumetric correction)
+    plus the reference's layover (alpha_r < theta) and shadow
+    (theta_lia < 85°) masks."""
+    import math
+    sa = slope_aspect(cells, z_col, cell_size, ix_col, iy_col) \
+        .select(ix_col, iy_col, "slope", "aspect")
+    j = cells.join(sa, [ix_col, iy_col])
+    d2r = math.pi / 180.0
+    theta = F.col(theta_deg_col) * F.lit(d2r)
+    phi_r = F.lit(phi_i_deg * d2r) - F.col("aspect")
+    alpha_r = F.atan(F.tan(F.col("slope")) * F.cos(phi_r))
+    alpha_az = F.atan(F.tan(F.col("slope")) * F.sin(phi_r))
+    theta_lia = F.acos(F.cos(alpha_az) * F.cos(theta - alpha_r))
+    gamma0 = F.pow(F.lit(10.0), F.col(db_col) / F.lit(10.0)) / F.cos(theta)
+    gamma0_db = F.lit(10.0) * F.log10(gamma0)
+    ninety = F.lit(math.pi / 2.0)
+    vol = F.abs(F.tan(ninety - theta + alpha_r) / F.tan(ninety - theta))
+    gamma0_vol_db = F.lit(10.0) * F.log10(gamma0 / vol)
+    return j.select(
+        ix_col, iy_col,
+        gamma0_db.alias("gamma0_db"),
+        gamma0_vol_db.alias("gamma0_vol_db"),
+        theta_lia.alias("theta_lia"),
+        (alpha_r < theta).cast("int").alias("layover"),
+        (theta_lia < F.lit(85.0 * d2r)).cast("int").alias("shadow"),
+    )
+
+
 def lee_speckle(cells: DataFrame, band: str, radius: int = 1,
                 ix_col: str = "ix", iy_col: str = "iy") -> DataFrame:
     """W4 Lee-style filter: x̂ = mean + k·(x − mean), k = var/(var + mean²·cu²)

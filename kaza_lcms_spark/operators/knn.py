@@ -50,47 +50,90 @@ def cosine_topk_relational(emb: DataFrame, k: int = 5,
                     F.round(F.col("cos"), 4).alias("cos")))
 
 
+def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, prefix: str,
+                 block_rows: int) -> DataFrame:
+    """Pack (id, vector) rows into block rows (block_id, ids[], vecs[])
+    executor-side — one narrow mapInPandas, nothing touches the driver.
+    Each block carries ≤ block_rows vectors flattened into one array, so
+    downstream block-pair kernels see bounded, BLAS-friendly matrices."""
+    from pyspark.sql.types import ArrayType
+
+    schema = StructType([
+        StructField(f"{prefix}bid", LongType()),
+        StructField(f"{prefix}ids", ArrayType(LongType())),
+        StructField(f"{prefix}vecs", ArrayType(DoubleType())),
+    ])
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        base = (os.getpid() & 0xFFFF) << 32
+        seq = 0
+        for b in batches:
+            for s in range(0, len(b), block_rows):
+                blk = b.iloc[s:s + block_rows]
+                vecs = np.array(list(blk[vec_col]), dtype=np.float64)
+                yield pd.DataFrame({
+                    f"{prefix}bid": [base | seq],
+                    f"{prefix}ids": [blk[id_col].to_numpy().astype(np.int64)],
+                    f"{prefix}vecs": [vecs.ravel()],
+                })
+                seq += 1
+
+    return df.select(id_col, vec_col).mapInPandas(pack, schema)
+
+
 def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k via numpy: broadcast the (n, d) item matrix, stream
-    query blocks through mapInPandas, argpartition per block. At 100 TB
-    the broadcast side becomes an IVF shard join; the per-block kernel is
-    unchanged."""
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+                        vec_col: str = "embedding",
+                        block_rows: int = 4096) -> DataFrame:
+    """Exact top-k as a distributed block-grid matrix multiply: both sides
+    are packed into block rows executor-side (never collected to the
+    driver), item blocks are broadcast, every (query block × item block)
+    pair runs one BLAS matmul and keeps an exact per-pair top-k, and a
+    window merge keeps the global top-k per query.
+
+    Scale shape: query side is unbounded (streams block by block); total
+    work is inherently O(n_q·n_i) — this is the exact path for a
+    broadcastable item side (up to ~10M items). Beyond that, route to
+    cosine_topk_ivf. Ties break (−cos, neighbor_id) exactly: each block
+    kernel fully lexsorts its candidates, and the merge window repeats
+    the same ordering."""
+    qb = _pack_blocks(emb, id_col, vec_col, "q", block_rows)
+    ib = _pack_blocks(emb, id_col, vec_col, "i", block_rows)
+    pairs = qb.crossJoin(F.broadcast(ib))
 
     out_schema = StructType([
         StructField("vec_id", LongType()), StructField("neighbor_id", LongType()),
         StructField("cos", DoubleType()),
     ])
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        M, I = b_mat.value, b_ids.value
-        for bdf in batches:
-            if not len(bdf):
-                continue
-            q = np.array(list(bdf[vec_col]), dtype=np.float64)
-            qid = bdf[id_col].to_numpy()
-            sims = q @ M.T                       # (bq, n) BLAS
-            order_ids = I[None, :] == qid[:, None]
-            sims[order_ids] = -np.inf            # exclude self
-            kk = min(k, sims.shape[1] - 1)
-            # top-k with (−cos, id) lexicographic tie-break
-            part = np.argpartition(-sims, kk, axis=1)[:, : kk + 4]
-            rows_out = []
-            for r in range(len(qid)):
-                cand = part[r]
-                cand = cand[np.lexsort((I[cand], -sims[r, cand]))][:kk]
-                rows_out.append(pd.DataFrame({
-                    "vec_id": qid[r], "neighbor_id": I[cand],
-                    "cos": np.round(sims[r, cand], 4)}))
-            yield pd.concat(rows_out)
+    def per_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for row in pdf.itertuples(index=False):
+            qids = np.asarray(row.qids, dtype=np.int64)
+            iids = np.asarray(row.iids, dtype=np.int64)
+            Q = np.asarray(row.qvecs, dtype=np.float64).reshape(len(qids), -1)
+            M = np.asarray(row.ivecs, dtype=np.float64).reshape(len(iids), -1)
+            sims = Q @ M.T
+            sims[qids[:, None] == iids[None, :]] = -np.inf   # exclude self
+            kk = min(k, sims.shape[1])
+            for r in range(len(qids)):
+                order = np.lexsort((iids, -sims[r]))[:kk]    # exact tie-break
+                keep = sims[r, order] > -np.inf
+                outs.append(pd.DataFrame({
+                    "vec_id": qids[r], "neighbor_id": iids[order][keep],
+                    "cos": sims[r, order][keep]}))
+        if not outs:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []})
+        return pd.concat(outs)
 
-    return emb.select(id_col, vec_col).mapInPandas(probe, out_schema)
+    # one group per block pair bounds task memory to exactly two blocks
+    cands = pairs.groupBy("qbid", "ibid").applyInPandas(per_pair, out_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             F.col("neighbor_id").asc())
+    return (cands.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("vec_id", "neighbor_id", F.round("cos", 4).alias("cos")))
 
 
 def _kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 8,

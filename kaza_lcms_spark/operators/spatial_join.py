@@ -344,9 +344,11 @@ def distance_join(points_df: DataFrame, radius_deg: float,
     (halo) → equi-join home×replica on cell → exact distance filter →
     dedupe pair (a<b keeps one orientation; same pair may match in several
     cells, distinct() collapses). The shuffle key is the cell id; `salt`
-    > 1 additionally splits hot cells by hashing the *right* side id, for
-    skewed river/border clusters (AQE skew-join also covers this at
-    runtime — salting is the explicit planner-side lever).
+    > 1 splits every cell's LEFT rows into `salt` hash buckets and
+    replicates the right (halo) side once per bucket, so no task owns a
+    whole hot river/border cell — the explicit planner-side skew lever
+    (AQE skew-join also covers this at runtime). Results are identical
+    for any salt (tested); cost is a ×salt replication of the halo side.
     """
     if cell_level is None:
         # largest level whose cell height >= radius (lat degrees)
@@ -379,11 +381,18 @@ def distance_join(points_df: DataFrame, radius_deg: float,
             rep = rep.drop_duplicates(subset=["pid", "cell"])
             yield rep[["pid", "px", "py", "cell"]]
 
-    right = pts.mapInPandas(replicate, nbr_schema)
+    right = (pts.mapInPandas(replicate, nbr_schema)
+             .withColumnRenamed("pid", "pid_b")
+             .withColumnRenamed("px", "px_b").withColumnRenamed("py", "py_b"))
     left = pts.withColumnRenamed("home", "cell")
-    joined = left.join(right.withColumnRenamed("pid", "pid_b")
-                       .withColumnRenamed("px", "px_b").withColumnRenamed("py", "py_b"),
-                       on="cell")
+    if salt > 1:
+        left = left.withColumn("bkt", F.pmod(F.xxhash64("pid"), F.lit(salt)))
+        right = right.withColumn(
+            "bkt", F.explode(F.sequence(F.lit(0).cast("long"),
+                                        F.lit(salt - 1).cast("long"))))
+        joined = left.join(right, on=["cell", "bkt"])
+    else:
+        joined = left.join(right, on="cell")
     dx = F.col("px") - F.col("px_b")
     dy = F.col("py") - F.col("py_b")
     dist2 = dx * dx + dy * dy
@@ -419,8 +428,10 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
     undecided = ids
     kept = None
     dropped = None
+    converged = False
     for _ in range(max_rounds):
         if undecided.isEmpty():
+            converged = True
             break
         # a point is blocked iff it has an UNDECIDED or KEPT lower-id nbr
         dep = pairs.withColumnRenamed("a", "lower").withColumnRenamed("b", "pid")
@@ -443,7 +454,15 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
         kept = kept.localCheckpoint(eager=True)
         undecided = undecided.localCheckpoint(eager=True)
         del blocked_now
+    converged = converged or undecided.isEmpty()
     pairs.unpersist()
+    if not converged:
+        n_left = undecided.count()
+        raise RuntimeError(
+            f"thin_points_exact did not converge within {max_rounds} rounds: "
+            f"{n_left} points still undecided (dependency chain deeper than "
+            "max_rounds). Raise max_rounds — returning a partial kept set "
+            "would silently break the sequential-greedy equivalence.")
     return kept.select(F.col("pid"))
 
 

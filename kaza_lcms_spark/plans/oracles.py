@@ -38,7 +38,14 @@ def aoi_quads() -> list[tuple[int, np.ndarray, np.ndarray]]:
 
 
 def convex_inside_sql(lon: str, lat: str, xs: np.ndarray, ys: np.ndarray) -> str:
-    """AND of half-plane tests for a CCW convex polygon: cross >= 0."""
+    """AND of half-plane tests for a CCW convex polygon: cross >= 0.
+
+    Boundary convention: INCLUSIVE (a point exactly on an edge tests
+    true), unlike the engine's half-open even-odd ray casting
+    (kernels.geom.points_in_polygon). The two strategies are equivalent
+    for interior points only — fixtures keep test points off borders, and
+    the documented lowest-unit-id tie-break applies to interior
+    containment (README "Boundary ties")."""
     terms = []
     n = len(xs)
     for i in range(n):

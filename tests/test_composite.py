@@ -54,6 +54,31 @@ def test_percentile_composite_matches_numpy(spark, series_df):
             assert out[g][f"p{p}_y"] == pytest.approx(want), (g, p)
 
 
+def test_percentile_approx_error_bound(spark, series_df):
+    """A1 scale path: the GK-sketch composite must sit within the rank
+    error bound of the exact composite (values, not ranks: bound the
+    value gap by comparing against the exact percentiles at ±1.5/accuracy
+    rank offsets)."""
+    df, rows = series_df
+    acc = 1000
+    exact = {r["grp"]: r for r in
+             C.percentile_composite(df, "grp", ["y"]).collect()}
+    approx = {r["grp"]: r for r in
+              C.percentile_composite_approx(df, "grp", ["y"], accuracy=acc).collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, t, y in rows:
+        by[g].append(y)
+    for g, ys in by.items():
+        for p in (10, 25, 50, 75, 90):
+            got = approx[g][f"p{p}_y"]
+            lo = np.percentile(ys, max(p - 100 * 1.5 / acc, 0), method="lower")
+            hi = np.percentile(ys, min(p + 100 * 1.5 / acc, 100), method="higher")
+            assert lo <= got <= hi, (g, p, got, lo, hi)
+            # and close to the exact interpolated value on this data
+            assert got == pytest.approx(exact[g][f"p{p}_y"], abs=0.05), (g, p)
+
+
 def test_ols_simple_matches_polyfit(spark, series_df):
     df, rows = series_df
     out = {r["grp"]: r for r in C.ols_simple(df, "grp", "t", "y").collect()}

@@ -61,9 +61,36 @@ def test_cosine_blocked_equals_relational(spark, sf_dir="/root/testdata/sf0.001"
            KNN.cosine_topk_relational(emb, k=5).collect()}
     blk = {(r["vec_id"], r["neighbor_id"]) for r in
            KNN.cosine_topk_blocked(spark, emb, k=5).collect()}
-    # identical neighbor sets (cos values may differ in last ulp)
-    overlap = len(rel & blk) / len(rel)
-    assert overlap > 0.999, overlap
+    assert rel == blk  # exact: full per-block lexsort tie-break
+
+
+def test_cosine_blocked_small_blocks_and_no_collect(spark):
+    """block_rows smaller than n forces a real multi-block grid; results
+    must not change, and the plan must not route through the driver
+    (mapInPandas pack + broadcast join only)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    whole = sorted((r["vec_id"], r["neighbor_id"]) for r in
+                   KNN.cosine_topk_blocked(spark, emb, k=5).collect())
+    grid = sorted((r["vec_id"], r["neighbor_id"]) for r in
+                  KNN.cosine_topk_blocked(spark, emb, k=5, block_rows=37).collect())
+    assert whole == grid
+
+
+def test_cosine_blocked_duplicate_embedding_ties(spark):
+    """Many identical vectors tie at the k-th similarity: the tie-break
+    must pick the lowest neighbor ids, matching the relational path."""
+    base = [1.0] + [0.0] * 7
+    other = [0.0, 1.0] + [0.0] * 6
+    rows = [(i, base) for i in range(10)] + [(100 + i, other) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    rel = {(r["vec_id"], r["neighbor_id"]) for r in
+           KNN.cosine_topk_relational(emb, k=3).collect()}
+    blk = {(r["vec_id"], r["neighbor_id"]) for r in
+           KNN.cosine_topk_blocked(spark, emb, k=3, block_rows=5).collect()}
+    assert rel == blk
+    # every base vector's neighbors are the 3 lowest other base ids
+    got = sorted(n for q, n in blk if q == 7)
+    assert got == [0, 1, 2], got
 
 
 def test_cosine_ivf_recall(spark):

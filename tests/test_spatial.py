@@ -76,6 +76,22 @@ def test_distance_join_vs_bruteforce(spark, truth_lonlat):
     assert len(got) > 0
 
 
+def test_distance_join_salted_equals_unsalted(spark, truth_lonlat):
+    """The explicit skew lever must not change results: salt=4 splits each
+    cell's left rows into hash buckets and replicates the halo side."""
+    n = 400
+    lon, lat = truth_lonlat
+    lon, lat = lon[:n], lat[:n]
+    pdf = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(n)],
+        "pt_id long, lon double, lat double",
+    )
+    plain = sorted((r["a"], r["b"]) for r in sj.distance_join(pdf, 0.15).collect())
+    salted = sorted((r["a"], r["b"]) for r in
+                    sj.distance_join(pdf, 0.15, salt=4).collect())
+    assert plain == salted and len(plain) > 0
+
+
 def test_thinning_deterministic_and_sparse(spark, truth_lonlat):
     n = 400
     lon, lat = truth_lonlat
