@@ -635,6 +635,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.cosine_topk_relational(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family): exact relational
+    baseline with the deterministic fold dot product — oracle-replayable."""
+    return DD.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                    threshold=0.35)
+
+
+def q_cosine_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scale path: IVF-bucketed candidates + exact
+    cosine verify (never all-pairs; rows-only — candidate set is
+    approximate by design, recall tested vs exact in pytest)."""
+    return DD.cosine_near_dup_bucketed(spark, _t(spark, sf_dir, "embeddings"),
+                                       threshold=0.35, n_centroids=8, nprobe=6)
+
+
 def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming top-3 over derived 62-bit hashes (phash-kNN shape)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -752,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_fit": q_harmonic_fit,
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "cosine_topk_ivf": q_cosine_topk_ivf,
+        "cosine_near_dup": q_cosine_near_dup,
+        "cosine_near_dup_bucketed": q_cosine_near_dup_bucketed,
         "image_invariants": q_image_invariants,
     }
 
@@ -1355,6 +1372,11 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY {dot64} DESC, b.vec_id ASC) AS rn
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rn <= 5
+        """,
+        "cosine_near_dup": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b, ROUND({dot64}, 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND({dot64}, 4) >= 0.35
         """,
         "cosine_topk_blocked": f"""
             SELECT vec_id, neighbor_id FROM (

@@ -177,6 +177,45 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.35,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    cos ≥ threshold. Exact all-pairs with the deterministic fold dot
+    product (functions.dot_fold) — bit-replayable by the SQL oracle; the
+    correctness baseline. At corpus scale use
+    cosine_near_dup_bucketed (IVF candidate restriction)."""
+    from .. import functions as KF
+
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cos = F.round(KF.dot_fold(F.col("va"), F.col("vb")), 4)
+    return (a.crossJoin(b).where(F.col("a") < F.col("b"))
+            .select("a", "b", cos.alias("cos"))
+            .where(F.col("cos") >= F.lit(threshold)))
+
+
+def cosine_near_dup_bucketed(spark, emb: DataFrame, threshold: float = 0.35,
+                             n_centroids: int = 16, nprobe: int = 4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             sample_rows: int = 20000) -> DataFrame:
+    """Scale path for embedding near-dup: restrict candidate pairs to
+    vectors sharing an IVF bucket (each vector goes to its top-1 bucket
+    as an item and its nprobe buckets as a query), then verify cosine
+    exactly per candidate. Never materializes the cross product; one
+    shuffle on bucket id. Near-identical vectors share nearest centroids,
+    so recall at high thresholds is ~1 (tested vs the exact pairs)."""
+    from . import knn as KNN
+    from .. import functions as KF
+
+    pairs = KNN.ivf_candidate_pairs(spark, emb, n_centroids, nprobe,
+                                    id_col, vec_col, sample_rows)
+    cos = F.round(KF.dot_fold(F.col("va"), F.col("vb")), 4)
+    return (pairs.select("a", "b", cos.alias("cos"))
+            .where(F.col("cos") >= F.lit(threshold)))
+
+
 def hamming_near_dup_pairs(sig: DataFrame, max_dist: int,
                            id_col: str = "doc_id",
                            hash_col: str = "simhash") -> DataFrame:

@@ -6,7 +6,10 @@ by the checkpoint/lineage layer (sources/catalog.py). This module provides
 the noted-but-optional streaming mappings: A1/A3 → event-time tumbling
 windows + watermark, J4/J5 → stream-static spatial join — the same fused
 kernels run unchanged on streaming DataFrames because they are narrow
-mapInPandas transforms.
+mapInPandas transforms — plus a custom stateful operator
+(applyInPandasWithState session windows) matching the gated batch
+`sessionize` query across micro-batch boundaries.
 """
 
-from .windows import stream_tile_counts, windowed_event_stats  # noqa: F401
+from .windows import (sessionize_stateful, stream_tile_counts,  # noqa: F401
+                      windowed_event_stats)

@@ -25,6 +25,72 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 hour",
                     "n", "avg_value"))
 
 
+def sessionize_stateful(stream: DataFrame, gap_sec: int = 1800,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        value_col: str = "value") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): split
+    each user's event stream into sessions at > gap_sec inactivity and
+    emit a (user_id, session_seq, n_events, sum_value) row when a session
+    CLOSES — the streaming form of the gated batch `sessionize` query
+    (same numbering: session_seq counts session starts per user from 1).
+
+    State per user = the open session (last event second, seq, running
+    count/sum); it carries across micro-batches, so sessions spanning a
+    batch boundary are stitched exactly (tested against the batch query).
+    Scale shape: state is O(1) per user, rows stream through Arrow
+    batches, and the shuffle key is user_id — the same plan a 10¹²-event
+    feed needs. Each user's final session stays open in the state store
+    (append semantics: it emits when a later event or timeout closes it).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()), StructField("session_seq", LongType()),
+        StructField("n_events", LongType()), StructField("sum_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("last_sec", LongType()), StructField("session_seq", LongType()),
+        StructField("n_events", LongType()), StructField("sum_value", DoubleType()),
+    ])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (uid,) = key
+        if state.exists:
+            last_sec, seq, n, sv = state.get
+        else:
+            last_sec, seq, n, sv = None, 0, 0, 0.0
+        closed = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values([ts_col, id_col])
+            secs = (pdf[ts_col].dt.floor("s").astype("int64") // 10**9).to_numpy()
+            vals = pdf[value_col].to_numpy()
+            for s, v in zip(secs, vals):
+                if last_sec is None or s - last_sec > gap_sec:
+                    if n > 0:
+                        closed.append((uid, seq, n, sv))
+                    seq += 1
+                    n, sv = 0, 0.0
+                last_sec = s
+                n += 1
+                sv += float(v)
+        if last_sec is not None:
+            state.update((int(last_sec), int(seq), int(n), float(sv)))
+        if closed:
+            yield pd.DataFrame(closed,
+                               columns=["user_id", "session_seq",
+                                        "n_events", "sum_value"])
+
+    return (stream.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def stream_tile_counts(spark: SparkSession, stream_images: DataFrame,
                        index: geom.PolygonIndex) -> DataFrame:
     """Stream-static spatial join: the SAME fused footprint→cell→PIP kernel

@@ -77,6 +77,42 @@ def test_lsh_hot_bucket_cap(spark):
     assert (1000, 1001) in got  # real near-dup kept
 
 
+def test_cosine_near_dup_bucketed_recall(spark):
+    """Planted near-duplicate embeddings (cos ≈ 0.98) among random
+    background vectors: the IVF-bucketed path must recover every planted
+    pair (true near-dups share nearest centroids) while comparing only a
+    small fraction of all pairs."""
+    import numpy as np
+    from kaza_lcms_spark.operators import knn as KNN
+
+    rng = np.random.default_rng(11)
+    vecs = []
+    for i in range(400):                       # background
+        v = rng.normal(size=16); vecs.append((i, v / np.linalg.norm(v)))
+    for j in range(50):                        # planted near-dup pairs
+        v = rng.normal(size=16); v /= np.linalg.norm(v)
+        w = v + rng.normal(scale=0.05, size=16); w /= np.linalg.norm(w)
+        vecs.append((1000 + 2 * j, v)); vecs.append((1001 + 2 * j, w))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>")
+
+    exact = {(r["a"], r["b"]) for r in
+             DD.cosine_near_dup_pairs(emb, threshold=0.9).collect()}
+    got = {(r["a"], r["b"]) for r in
+           DD.cosine_near_dup_bucketed(spark, emb, threshold=0.9,
+                                       n_centroids=16, nprobe=3,
+                                       sample_rows=500).collect()}
+    planted = {(1000 + 2 * j, 1001 + 2 * j) for j in range(50)}
+    assert planted <= exact        # sanity: plants really are near-dups
+    assert got <= exact            # verification is exact — no false pairs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"bucketed recall {recall:.3f}"
+    n = len(vecs)
+    n_cand = KNN.ivf_candidate_pairs(spark, emb, 16, 3, sample_rows=500).count()
+    assert n_cand < 0.5 * n * (n - 1) / 2, n_cand  # genuinely not all-pairs
+
+
 def test_token_tid_matches_duckdb(spark):
     """The Spark token_tid expression and its SQL replay string produce
     identical integers (the whole oracle strategy rests on this)."""

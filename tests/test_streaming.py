@@ -1,11 +1,14 @@
 """Streaming tests: availableNow file stream through the fused spatial
-join and watermarked windows; results equal the batch plan."""
+join and watermarked windows; results equal the batch plan. Stateful
+session windows (applyInPandasWithState) stitch sessions across
+micro-batch boundaries and match the gated batch sessionize query."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from kaza_lcms_spark.operators import spatial_join as SJ
-from kaza_lcms_spark.streaming import stream_tile_counts, windowed_event_stats
+from kaza_lcms_spark.streaming import (sessionize_stateful, stream_tile_counts,
+                                       windowed_event_stats)
 
 
 def _run_stream(df, name, mode):
@@ -29,6 +32,53 @@ def test_stream_tile_counts_equals_batch(spark, fixture_dir):
     want = {r["unit_id"]: r["n"] for r in
             SJ.zonal_counts_fused(spark, batch, idx).collect()}
     assert got == want
+
+
+def test_sessionize_stateful_matches_batch(spark, tmp_path):
+    """Split events chronologically into two files streamed as separate
+    micro-batches (maxFilesPerTrigger=1): sessions spanning the file
+    boundary must be stitched by the per-user state, and every CLOSED
+    session must equal the batch sessionize result exactly. Each user's
+    final session legitimately stays open (append semantics)."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_id", "ts", "value"))
+    cutoff = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    src = str(tmp_path / "ev_stream")
+    (ev.where(F.unix_timestamp("ts") <= cutoff).coalesce(1)
+       .write.parquet(src + "/f=0"))
+    (ev.where(F.unix_timestamp("ts") > cutoff).coalesce(1)
+       .write.parquet(src + "/f=1"))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/f=*")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = sessionize_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+
+    got = {(r["user_id"], r["session_seq"]): (r["n_events"], r["sum_value"])
+           for r in spark.sql("select * from sess").collect()}
+    want = {(r["user_id"], r["session_seq"]): (r["n_events"], float(r["sum_value"]))
+            for r in E.q_sessionize(spark, sf_dir).collect()}
+    assert len(got) > 0
+    # every closed session matches the batch row exactly
+    for k, (n, sv) in got.items():
+        assert want[k][0] == n, k
+        assert want[k][1] == pytest.approx(sv, abs=0.02), k
+    # coverage: exactly the non-final sessions close
+    last = {}
+    for (u, s) in want:
+        last[u] = max(last.get(u, 0), s)
+    expected_closed = {(u, s) for (u, s) in want if s < last[u]}
+    assert set(got) == expected_closed
 
 
 def test_windowed_event_stats(spark):
