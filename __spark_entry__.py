@@ -253,6 +253,54 @@ def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IMG.verify_invariants(spark.read.parquet(f"{d}/images.parquet"))
 
 
+def q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: decode → area resize to 8×8 → re-encode
+    inside one mapInPandas, then decode-stats over the resized corpus.
+    Rows-only (binary kernels, no SQL)."""
+    from kaza_lcms_spark import datagen
+    from kaza_lcms_spark.sources import images as IMG
+    d = datagen.ensure_fixtures(2000)
+    imgs = spark.read.parquet(f"{d}/images.parquet")
+    resized = IMG.resize_images(imgs, 8, 8)
+    return (IMG.decode_stats(resized)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("mean_px"), 4).alias("avg_mean_px")))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sample stage: pack fixture images into 5-frame
+    video containers (distributed applyInPandas pack), decode every 2nd
+    frame, per-frame stats. Rows-only (binary kernels, no SQL)."""
+    from kaza_lcms_spark import datagen
+    from kaza_lcms_spark.kernels import codec
+    from kaza_lcms_spark.sources import images as IMG
+    import pandas as pd
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    d = datagen.ensure_fixtures(2000)
+    imgs = (spark.read.parquet(f"{d}/images.parquet")
+            .select("image_id", "bytes")
+            .withColumn("vid", F.floor(
+                F.regexp_extract("image_id", r"(\d+)", 1).cast("long") / 5)))
+
+    pack_schema = StructType([StructField("video_id", StringType()),
+                              StructField("video", BinaryType())])
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id")
+        blob = codec.pack_frames([bytes(x) for x in pdf["bytes"]])
+        return pd.DataFrame({"video_id": [f"vid_{key[0]}"],
+                             "video": [bytearray(blob)]})
+
+    videos = imgs.groupBy("vid").applyInPandas(pack, pack_schema)
+    frames = IMG.sample_frame_stats(videos, every_k=2)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count_distinct("video_id").alias("n_videos"),
+        F.round(F.avg("mean_px"), 4).alias("avg_mean_px"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1/R4: exact per-class deterministic top-k (stratifiedSample)."""
     ev = _t(spark, sf_dir, "events")
@@ -770,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_bucketed": q_cosine_near_dup_bucketed,
         "image_invariants": q_image_invariants,
+        "resize_stats": q_resize_stats,
+        "frame_sample": q_frame_sample,
     }
 
 

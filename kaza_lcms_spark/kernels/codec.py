@@ -98,6 +98,101 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     return px, _FMT_NAME[code]
 
 
+def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic resize, pure numpy. Downscale: exact mean over the
+    integer pixel box [floor(i·h/oh), floor((i+1)·h/oh)) per output cell
+    (area resampling via two reduceat passes — no Python loop). Upscale
+    (per axis): nearest-neighbor index map. Rounded half-up to uint8."""
+    p = pixels.astype(np.float64)
+    h, w = p.shape
+
+    def axis_reduce(a: np.ndarray, n_in: int, n_out: int, axis: int) -> np.ndarray:
+        if n_out <= n_in:  # box mean
+            bounds = (np.arange(n_out + 1) * n_in) // n_out
+            sums = np.add.reduceat(a, bounds[:-1], axis=axis)
+            sizes = (bounds[1:] - bounds[:-1]).astype(np.float64)
+            shape = [1, 1]
+            shape[axis] = n_out
+            return sums / sizes.reshape(shape)
+        idx = (np.arange(n_out) * n_in) // n_out  # nearest
+        return np.take(a, idx, axis=axis)
+
+    out = axis_reduce(axis_reduce(p, h, out_h, 0), w, out_w, 1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_area_batch(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """resize_area over a (n, h, w) stack — same boxes, vectorized over n
+    (bit-identical to the scalar version, tested)."""
+    p = px.astype(np.float64)
+    n, h, w = p.shape
+
+    def axis_reduce(a, n_in, n_out, axis):
+        if n_out <= n_in:
+            bounds = (np.arange(n_out + 1) * n_in) // n_out
+            sums = np.add.reduceat(a, bounds[:-1], axis=axis)
+            sizes = (bounds[1:] - bounds[:-1]).astype(np.float64)
+            shape = [1, 1, 1]
+            shape[axis] = n_out
+            return sums / sizes.reshape(shape)
+        idx = (np.arange(n_out) * n_in) // n_out
+        return np.take(a, idx, axis=axis)
+
+    out = axis_reduce(axis_reduce(p, h, out_h, 1), w, out_w, 2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- multi-frame container ----
+
+VMAGIC = b"KV"
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Deterministic multi-frame (video stand-in) container: magic +
+    u32 frame count + [u32 length | frame bytes]*. Frames are any encoded
+    image payloads from this codec."""
+    out = [VMAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def frame_count(data: bytes) -> int:
+    if data[:2] != VMAGIC:
+        raise ValueError("bad video magic")
+    return struct.unpack("<I", data[2:6])[0]
+
+
+def iter_frames(data: bytes):
+    """Yield (frame_index, frame_bytes) without copying the whole buffer
+    more than once — O(total bytes) single pass."""
+    n = frame_count(data)
+    off = 6
+    for i in range(n):
+        (ln,) = struct.unpack("<I", data[off:off + 4])
+        off += 4
+        yield i, data[off:off + ln]
+        off += ln
+
+
+def decode_video(data: bytes, fmt: str = "kzv"):
+    """Decode a video payload to an iterator of (frame_idx, pixels).
+
+    Only the deterministic stand-in container ('kzv') decodes here — real
+    video codecs (h264/vp9/av1) need libraries absent from this container,
+    so they are an explicit stub: the Spark-side plumbing (binary column,
+    schema, mapInPandas batch shape, frame sampling) is identical either
+    way, and a real decoder drops in by replacing this function."""
+    if fmt != "kzv":
+        raise NotImplementedError(
+            f"video codec {fmt!r}: real decoders (h264/vp9/av1) are not "
+            "available in this environment; only the deterministic 'kzv' "
+            "stand-in container is implemented")
+    for i, fr in iter_frames(data):
+        yield i, decode(fr)[0]
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     d = a.astype(np.float64) - b.astype(np.float64)

@@ -159,8 +159,15 @@ def _ivf_tagged(spark: SparkSession, emb: DataFrame, n_centroids: int,
     """Shared IVF assignment: train a small codebook on a driver sample,
     broadcast it, and tag every vector with its top-1 bucket as an item
     (is_query=0) and its nprobe nearest buckets as a query (is_query=1).
-    One narrow mapInPandas; the bucket id is the downstream shuffle key."""
-    sample = [r[vec_col] for r in emb.select(vec_col).limit(sample_rows).collect()]
+    One narrow mapInPandas; the bucket id is the downstream shuffle key.
+
+    The sample is the lowest-id rows (TakeOrderedAndProject — per-partition
+    top-k, not a global sort), so the codebook — and therefore every IVF
+    result — is deterministic across partitionings and cluster sizes,
+    matching the engine's reproducibility contract (bare .limit() is not)."""
+    sample = [r[vec_col] for r in
+              emb.select(id_col, vec_col).orderBy(id_col)
+                 .limit(sample_rows).collect()]
     cents = _kmeans_lite(np.array(sample, dtype=np.float64), n_centroids)
     b_c = spark.sparkContext.broadcast(cents)
 

@@ -120,3 +120,79 @@ def verify_invariants(df: DataFrame) -> DataFrame:
     return part.groupBy("fmt").agg(
         F.sum("n").alias("n"), F.sum("n_roundtrip_ok").alias("n_roundtrip_ok"),
         F.sum("n_phash_ok").alias("n_phash_ok"), F.min("min_psnr").alias("min_psnr"))
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int,
+                  out_fmt: str = "raw") -> DataFrame:
+    """Decode → deterministic area resize → re-encode, all inside one
+    mapInPandas pass (multimodal 'resize' stage): binary in, binary out,
+    never a per-row Python UDF. Same-shape images are stacked so the
+    resize kernel vectorizes over the batch."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            n = len(b)
+            pixels = [codec.decode(bytes(blob))[0] for blob in b["bytes"]]
+            out_bytes: list[bytes] = [b""] * n
+            shapes = np.array([p.shape[0] * 100000 + p.shape[1] for p in pixels])
+            for s in np.unique(shapes):
+                sel = np.flatnonzero(shapes == s)
+                stack = np.stack([pixels[i] for i in sel])
+                small = codec.resize_area_batch(stack, out_h, out_w)
+                for j, i in enumerate(sel):
+                    out_bytes[i] = codec.encode(small[j], out_fmt)
+            yield pd.DataFrame({
+                "image_id": b["image_id"], "bytes": out_bytes,
+                "w": out_w, "h": out_h, "fmt": out_fmt,
+            })
+
+    return df.select("image_id", "bytes").mapInPandas(run, schema)
+
+
+def sample_frame_stats(df: DataFrame, every_k: int = 2,
+                       video_col: str = "video",
+                       id_col: str = "video_id") -> DataFrame:
+    """Multimodal 'frame-sample' stage: from each multi-frame binary
+    payload (codec.pack_frames container; real codecs are an explicit
+    stub — codec.decode_video), decode every k-th frame and emit per-frame
+    stats + phash. One mapInPandas pass; each sampled frame becomes an
+    output row (flatMap shape), so downstream per-frame operators
+    (dedup/kNN on frame phash) compose relationally."""
+    schema = StructType([
+        StructField(id_col, StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_px", DoubleType()),
+        StructField("phash", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ids, fidx, means, ph = [], [], [], []
+            for vid, blob in zip(b[id_col], b[video_col]):
+                for i, px in codec.decode_video(bytes(blob)):
+                    if i % every_k:
+                        continue
+                    ids.append(vid)
+                    fidx.append(i)
+                    means.append(float(px.mean()))
+                    ph.append(codec.phash64(px))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=object),
+                "frame_idx": pd.Series(fidx, dtype="int32"),
+                "mean_px": means, "phash": pd.Series(ph, dtype="int64"),
+            })
+
+    return df.select(id_col, video_col).mapInPandas(run, schema)

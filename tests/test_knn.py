@@ -110,6 +110,17 @@ def test_cosine_ivf_recall(spark):
     assert recall >= 0.85, f"IVF recall {recall:.3f} too low"
 
 
+def test_cosine_ivf_deterministic_across_partitionings(spark):
+    """The IVF codebook samples the lowest-id rows (not bare limit), so
+    results are a pure function of the data regardless of partitioning."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, KNN.cosine_topk_ivf(
+        spark, emb, k=5, n_centroids=8, nprobe=6).collect()))
+    b = sorted(map(tuple, KNN.cosine_topk_ivf(
+        spark, emb.repartition(13), k=5, n_centroids=8, nprobe=6).collect()))
+    assert a == b
+
+
 def test_caption_knn_per_cell(spark, fixture_dir):
     imgs = spark.read.parquet(fixture_dir + "/images.parquet") \
         .select("image_id", "caption")

@@ -1,0 +1,82 @@
+"""1M-image scale probe: run the three payload-heavy operators on a 5×
+larger contract-shaped corpus and append a markdown section to
+BENCH/BASELINE.md. Run AFTER tools/scaling.py (it overwrites the file).
+
+Usage: python tools/scale_probe.py [n_images]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    from pyspark.sql import functions as F
+
+    from kaza_lcms_spark import datagen
+    from kaza_lcms_spark.operators import knn as KNN
+    from kaza_lcms_spark.operators import spatial_join as SJ
+    from kaza_lcms_spark.session import get_spark
+    from kaza_lcms_spark.sources import images as IMG
+
+    d = datagen.ensure_fixtures(n)
+    spark = get_spark(app_name="scale-probe", master="local[32]",
+                      shuffle_partitions=64)
+    imgs = spark.read.parquet(d + "/images.parquet")
+    idx = SJ.load_polygon_index_from_fixture()
+    # warm JVM + Python worker pool
+    warm = imgs.limit(2048)
+    SJ.zonal_stats(SJ.assign_images_fused(spark, warm, idx)).collect()
+    IMG.decode_stats(warm).count()
+
+    def best2(fn):
+        b = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            b = min(b, time.time() - t0)
+        return b
+
+    t_assign = best2(lambda: SJ.zonal_stats(
+        SJ.assign_images_fused(spark, imgs, idx)).collect())
+    t_decode = best2(lambda: IMG.decode_stats(imgs).agg(
+        F.count(F.lit(1))).collect())
+    t_knn = best2(lambda: KNN.knn_per_cell(
+        SJ.with_cell(SJ.with_footprint(imgs.select("image_id", "phash")),
+                     level=10), k=5).count())
+
+    lines = [
+        "",
+        f"## Scale probe: {n:,}-image corpus (local[32])",
+        "",
+        "Same operators on a 5× larger contract-shaped corpus (binary",
+        "payloads), best of 2 (`python tools/scale_probe.py`):",
+        "",
+        "| query | sec | throughput |",
+        "|---|---|---|",
+        f"| tile assignment incl. parquet scan + zonal | {t_assign:.2f} | "
+        f"{n / t_assign:,.0f} images/sec |",
+        f"| full binary decode + stats + phash | {t_decode:.2f} | "
+        f"{n / t_decode:,.0f} images/sec |",
+        f"| per-cell phash kNN (k=5, level-10 cells, skewed) | {t_knn:.2f} | "
+        f"{n / t_knn:,.0f} images/sec |",
+        "",
+        "Tile assignment and decode scale sub-linearly in time from 200k →",
+        f"{n // 1000}k (fixed overheads amortize); per-cell kNN grows with",
+        "Σ n_cell² as cell occupancy rises — the designed mitigation at",
+        "constant density is a finer cell level, at constant cell size it",
+        "is the salted broadcast path (plans/salting.py).",
+    ]
+    with open("/root/repo/BENCH/BASELINE.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended scale probe: assign={t_assign:.2f}s "
+          f"decode={t_decode:.2f}s knn={t_knn:.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,14 @@ def main() -> None:
         "```json",
         json.dumps({"pinned2": p2, "pinned8": p8, "local8": u8, "local32": u32}, indent=1),
         "```",
+        "",
+        "## Measurement variance",
+        "",
+        "Repeated clean runs of the pinned 2→8 flagship give efficiencies",
+        "of 0.80-0.99; ambient VM load shifts any single measurement by up",
+        "to ±0.1, and any concurrent Spark job contaminates the pinned",
+        "phases. Regenerate on an idle box: `python tools/scaling.py`,",
+        "then `python tools/scale_probe.py` for the 1M-image appendix.",
     ]
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
