@@ -121,6 +121,67 @@ def harmonic_fit(df: DataFrame, group_col: str, t_col: str, y_col: str,
     return g.mapInPandas(lambda it: (solve(pdf) for pdf in it if len(pdf)), out_schema)
 
 
+def percentile_harmonic_composite(df: DataFrame, group_col: str,
+                                  band_cols: list[str], t_col: str,
+                                  y_col: str, period: float = 1.0,
+                                  pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9)
+                                  ) -> DataFrame:
+    """A1 + A2 fused: percentiles AND the harmonic Gram sufficient
+    statistics in ONE groupBy on the cell key — a single shuffle and a
+    single pass over the observations, versus computing the two
+    composites separately (which re-evaluates the masked/derived input
+    twice and joins the results). Output = percentile_composite columns +
+    harmonic_fit columns (coef_*, phase, amplitude); groups with fewer
+    than 4 valid y observations get NaN harmonic outputs (the unfused
+    left join produced NULLs there)."""
+    w = 2.0 * np.pi / period
+    t = F.col(t_col)
+    xs = [F.lit(1.0), t, F.cos(F.lit(w) * t), F.sin(F.lit(w) * t)]
+    names = ["c", "t", "cos", "sin"]
+    valid = F.col(y_col).isNotNull()
+    aggs = []
+    for b in band_cols:
+        for p in pcts:
+            aggs.append(F.percentile(F.col(b), F.lit(p)).alias(f"p{int(p*100)}_{b}"))
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(F.sum(F.when(valid, xs[i] * xs[j])).alias(f"_g_{i}{j}"))
+        aggs.append(F.sum(F.when(valid, xs[i] * F.col(y_col))).alias(f"_b_{i}"))
+    g = df.groupBy(group_col).agg(*aggs)
+
+    pct_cols = [f"p{int(p*100)}_{b}" for b in band_cols for p in pcts]
+    out_schema = StructType(
+        [g.schema[group_col]]
+        + [StructField(c, DoubleType()) for c in pct_cols]
+        + [StructField(f"coef_{n}", DoubleType()) for n in names]
+        + [StructField("phase", DoubleType()), StructField("amplitude", DoubleType())]
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        G = np.zeros((m, 4, 4))
+        B = np.zeros((m, 4))
+        for i in range(4):
+            for j in range(i, 4):
+                G[:, i, j] = G[:, j, i] = pdf[f"_g_{i}{j}"].fillna(0.0)
+            B[:, i] = pdf[f"_b_{i}"].fillna(0.0)
+        coef = np.full((m, 4), np.nan)
+        ok = G[:, 0, 0] >= 4
+        ok[ok] = np.abs(np.linalg.det(G[ok])) > 1e-12
+        if ok.any():
+            coef[ok] = np.linalg.solve(G[ok], B[ok])
+        out = pd.DataFrame({group_col: pdf[group_col]})
+        for c in pct_cols:
+            out[c] = pdf[c]
+        for k, n in enumerate(names):
+            out[f"coef_{n}"] = coef[:, k]
+        out["phase"] = np.arctan2(coef[:, 2], coef[:, 3])
+        out["amplitude"] = np.hypot(coef[:, 2], coef[:, 3])
+        return out
+
+    return g.mapInPandas(lambda it: (solve(p) for p in it if len(p)), out_schema)
+
+
 def fractional_year(ts_col="ts", epoch_year: int = 2024) -> F.Column:
     """Time band: fractional years since epoch (reference:
     src/utils/harmonics.py:63-77 'difference(epoch, year)'). `ts_col` is a

@@ -29,12 +29,16 @@ BANDS = ["blue", "green", "red", "nir", "swir1", "swir2"]
 
 
 def add_cloud_mask(ts_df: DataFrame, threshold: float = 60.0,
-                   erode_r: int = 1, grow_r: int = 1) -> DataFrame:
+                   erode_r: int = 1, grow_r: int = 1,
+                   tiled: bool = False) -> DataFrame:
     """Cloud mask: probability threshold (reference CLD_PRB_THRESH,
     src/utils/s2process.py:8,43) then morphological open+grow per image
-    date (src/utils/s2process.py:84-88). Emits is_cloud ∈ {0,1}."""
+    date (src/utils/s2process.py:84-88). Emits is_cloud ∈ {0,1}.
+    ``tiled`` selects the one-shuffle halo-tile morphology (identical
+    output, tested) instead of the relational 4-shuffle plan."""
     m = ts_df.withColumn("is_cloud", (F.col("cloud_prob") > threshold).cast("int"))
-    return FO.open_grow_mask(m, "is_cloud", erode_r, grow_r, group_cols=("ts",))
+    op = FO.open_grow_tiled if tiled else FO.open_grow_mask
+    return op(m, "is_cloud", erode_r, grow_r, group_cols=("ts",))
 
 
 def apply_mask(ts_df: DataFrame, bands: list[str] = BANDS) -> DataFrame:
@@ -63,15 +67,18 @@ def build_composite(ts_df: DataFrame,
                     harmonic_band: str = "ndvi",
                     pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9)
                     ) -> DataFrame:
-    """Full composite: mask → indices → percentiles ∥ harmonics → stack.
+    """Full composite: mask → indices → fused percentiles+harmonics.
     Returns one wide row per cell_id (p{q}_{band/index} + harmonic coefs
-    + phase/amplitude), the reference's exported composite image."""
-    masked = apply_mask(add_cloud_mask(ts_df), bands)
+    + phase/amplitude), the reference's exported composite image.
+
+    Physical shape: tiled morphology is ONE shuffle on (ts, tile); both
+    reductions share ONE hash-agg on cell_id (percentiles + Gram sums in
+    the same groupBy — no diamond recompute of the masked input, no
+    stack join). Two shuffles end to end."""
+    masked = apply_mask(add_cloud_mask(ts_df, tiled=True), bands)
     feat = add_indices(masked)
     feat = feat.withColumn("t_frac", F.col("doy") / F.lit(365.0))
     value_cols = list(bands) + list(index_cols)
-    pct = C.percentile_composite(feat, "cell_id", value_cols, pcts)
-    harm = C.harmonic_fit(
-        feat.where(F.col(harmonic_band).isNotNull()),
-        "cell_id", "t_frac", harmonic_band, period=1.0)
-    return pct.join(harm, "cell_id", "left")
+    return C.percentile_harmonic_composite(
+        feat, "cell_id", value_cols, "t_frac", harmonic_band,
+        period=1.0, pcts=pcts)

@@ -47,6 +47,62 @@ def test_erode_dilate_vs_numpy(spark, grid_df):
             assert di[(x, y)] == truth_di, (x, y)
 
 
+def test_open_grow_tiled_equals_relational(spark, grid_df):
+    """The one-shuffle halo-tile morphology must reproduce the relational
+    erode→dilate exactly — including data-edge behavior (absent = unset)
+    and sparse/irregular coverage — across tile sizes and radii."""
+    df, mask, val, n = grid_df
+    sparse = df.where((F.col("ix") * 7 + F.col("iy") * 3) % 5 != 0)  # holes
+    for cells in (df, sparse):
+        for er, gr, bits in ((1, 1, 3), (1, 2, 4), (2, 1, 5)):
+            a = {(r["ix"], r["iy"]): r["m"] for r in
+                 FO.open_grow_mask(cells, "m", er, gr).collect()}
+            b = {(r["ix"], r["iy"]): r["m"] for r in
+                 FO.open_grow_tiled(cells, "m", er, gr, tile_bits=bits).collect()}
+            assert a == b, (er, gr, bits)
+
+
+def test_open_grow_tiled_grouped(spark, grid_df):
+    """group_cols isolation: two stacked 'dates' must not bleed into each
+    other's windows (per-image morphology)."""
+    df, mask, val, n = grid_df
+    two = df.withColumn("ts", F.lit(1)).unionByName(
+        df.withColumn("m", 1 - F.col("m")).withColumn("ts", F.lit(2)))
+    a = {(r["ts"], r["ix"], r["iy"]): r["m"] for r in
+         FO.open_grow_mask(two, "m", 1, 1, group_cols=("ts",)).collect()}
+    b = {(r["ts"], r["ix"], r["iy"]): r["m"] for r in
+         FO.open_grow_tiled(two, "m", 1, 1, group_cols=("ts",)).collect()}
+    assert a == b
+
+
+def test_fused_composite_equals_unfused(spark):
+    """percentile_harmonic_composite (one shuffle) == separate
+    percentile_composite + harmonic_fit + join, column for column."""
+    from kaza_lcms_spark.operators import composite as C
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in range(6):
+        for i in range(rng.integers(2, 120)):
+            t = float(rng.random() * 2)
+            y = float(np.cos(2 * np.pi * t) + rng.normal(0, .1))
+            rows.append((g, t, y, float(rng.random())))
+    df = spark.createDataFrame(rows, "cell long, t double, y double, b double")
+    fused = {r["cell"]: r for r in C.percentile_harmonic_composite(
+        df, "cell", ["b", "y"], "t", "y").collect()}
+    pct = C.percentile_composite(df, "cell", ["b", "y"])
+    harm = C.harmonic_fit(df.where(F.col("y").isNotNull()), "cell", "t", "y")
+    want = {r["cell"]: r for r in pct.join(harm, "cell", "left").collect()}
+    assert set(fused) == set(want)
+    for c, w in want.items():
+        f = fused[c]
+        for k in w.asDict():
+            wv, fv = w[k], f[k]
+            if wv is None or (isinstance(wv, float) and np.isnan(wv)):
+                assert fv is None or np.isnan(fv), (c, k)
+            else:
+                assert fv == pytest.approx(wv, rel=1e-9), (c, k)
+
+
 def test_directional_transform(spark, grid_df):
     df, mask, val, n = grid_df
     out = {(r["ix"], r["iy"]): r["shadow"]
