@@ -69,7 +69,16 @@ class Catalog:
         os.makedirs(os.path.join(self._tdir(name), "data"), exist_ok=True)
         os.makedirs(os.path.join(self._tdir(name), "metadata"), exist_ok=True)
 
-    def _read_manifest(self, name: str) -> dict:
+    def _read_manifest(self, name: str, snapshot: int | None = None) -> dict:
+        """CURRENT manifest, or a pinned snapshot (time travel — every
+        snapshot-N.json is retained, exactly like Iceberg's metadata)."""
+        if snapshot is not None:
+            path = os.path.join(self._tdir(name), "metadata",
+                                f"snapshot-{snapshot}.json")
+            if not os.path.exists(path):
+                raise ValueError(f"table {name} has no snapshot {snapshot}")
+            with open(path) as f:
+                return json.load(f)
         if not self.table_exists(name):
             return {"snapshot": 0, "partitions": {}}
         with open(self._pointer(name)) as f:
@@ -99,8 +108,31 @@ class Catalog:
         return [Lineage(partition=k, **{kk: vv for kk, vv in v.items()})
                 for k, v in sorted(m["partitions"].items())]
 
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot history (id, n_partitions, n_rows, latest commit ts)
+        — the Iceberg `snapshots` metadata table analog."""
+        mdir = os.path.join(self._tdir(name), "metadata")
+        out = []
+        if not os.path.isdir(mdir):
+            return out
+        for fn in sorted(os.listdir(mdir)):
+            if not fn.startswith("snapshot-") or not fn.endswith(".json"):
+                continue
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            parts = m["partitions"].values()
+            out.append({
+                "snapshot": m["snapshot"],
+                "n_partitions": len(parts),
+                "n_rows": sum(p["n_rows"] for p in parts),
+                "ts": max((p["ts"] for p in parts), default=0.0),
+            })
+        out.sort(key=lambda s: s["snapshot"])
+        return out
+
     def read_table(self, spark: SparkSession, name: str,
-                   partitions: list[str] | None = None) -> DataFrame:
+                   partitions: list[str] | None = None,
+                   snapshot: int | None = None) -> DataFrame:
         """Read exactly the committed files (partial/aborted writes are
         invisible — they are not in the manifest).
 
@@ -108,8 +140,13 @@ class Catalog:
         partitions' files are handed to the scan — the catalog half of
         partition pruning (the driver-side half derives the partition
         list from an AOI cell cover, SURVEY.md §4). The scan never
-        opens, lists, or footer-reads pruned files."""
-        m = self._read_manifest(name)
+        opens, lists, or footer-reads pruned files.
+
+        ``snapshot`` pins the read to a historical snapshot (time
+        travel): data files are immutable once committed, so reading an
+        old manifest reproduces the table exactly as of that commit —
+        the audit/replay semantics Iceberg gives a 100 TB pipeline."""
+        m = self._read_manifest(name, snapshot=snapshot)
         parts = m["partitions"]
         if partitions is not None:
             want = {str(p) for p in partitions}

@@ -80,3 +80,26 @@ def test_manifest_partition_pruning(spark, assigned, tmp_path):
     full_files = sum(len(l.files) for l in cat.lineage("tiles"))
     sub_files = sum(len(l.files) for l in cat.lineage("tiles") if l.partition in ("3", "7"))
     assert 0 < sub_files < full_files
+
+
+def test_snapshot_time_travel(spark, assigned, tmp_path):
+    """Time travel: reads pinned to a historical snapshot reproduce the
+    table exactly as of that commit; snapshots() lists the history."""
+    cat = Catalog(str(tmp_path))
+    cat.write_partitioned(spark, assigned, "tiles", "unit_id",
+                          partitions_per_commit=4)  # 12 units -> 3 snapshots
+    snaps = cat.snapshots("tiles")
+    assert [s["snapshot"] for s in snaps] == [1, 2, 3]
+    assert snaps[0]["n_partitions"] == 4 and snaps[2]["n_partitions"] == 12
+    assert snaps[0]["n_rows"] < snaps[2]["n_rows"]
+    # snapshot-1 sees only the first 4 units' rows
+    old = cat.read_table(spark, "tiles", snapshot=1)
+    units = {r["unit_id"] for r in old.select("unit_id").distinct().collect()}
+    assert len(units) == 4
+    assert old.count() == snaps[0]["n_rows"]
+    # CURRENT == latest snapshot
+    cur = cat.read_table(spark, "tiles")
+    latest = cat.read_table(spark, "tiles", snapshot=3)
+    assert cur.count() == latest.count() == snaps[2]["n_rows"]
+    with pytest.raises(ValueError, match="no snapshot 9"):
+        cat.read_table(spark, "tiles", snapshot=9)

@@ -109,3 +109,44 @@ def test_hamming_metric_properties(hashes):
     assert (d == d.T).all()
     assert (np.diag(d) == 0).all()
     assert (d <= 64).all()
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                min_size=1, max_size=40),
+       st.integers(min_value=-2**63, max_value=2**63 - 1))
+@settings(max_examples=150, deadline=None)
+def test_hamming64_matches_bit_count(hs, q):
+    got = codec.hamming64(np.array(hs, dtype=np.int64), np.int64(q))
+    want = [bin((h ^ q) & (2**64 - 1)).count("1") for h in hs]
+    assert got.tolist() == want
+
+
+@given(st.integers(min_value=1, max_value=48), st.integers(min_value=1, max_value=48),
+       st.integers(min_value=1, max_value=16), st.integers(min_value=1, max_value=16),
+       st.integers(min_value=0, max_value=255))
+@settings(max_examples=60, deadline=None)
+def test_resize_constant_image_stays_constant(h, w, oh, ow, v):
+    px = np.full((h, w), v, dtype=np.uint8)
+    out = codec.resize_area(px, oh, ow)
+    assert out.shape == (oh, ow)
+    assert (out == v).all()
+
+
+@given(st.integers(min_value=8, max_value=40), st.integers(min_value=8, max_value=40),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=40, deadline=None)
+def test_resize_preserves_global_mean_on_divisible(h8, w8, f):
+    rng = np.random.default_rng(h8 * 100 + w8)
+    h, w = h8 * f, w8 * f
+    px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = codec.resize_area(px, h8, w8)
+    # divisible boxes: means exact before rounding -> global mean within 0.5
+    assert abs(out.astype(float).mean() - px.astype(float).mean()) <= 0.5
+
+
+@given(st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=12))
+@settings(max_examples=80, deadline=None)
+def test_frame_container_roundtrip_any_payload(frames):
+    blob = codec.pack_frames(frames)
+    assert codec.frame_count(blob) == len(frames)
+    assert [f for _, f in codec.iter_frames(blob)] == frames
