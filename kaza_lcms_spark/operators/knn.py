@@ -7,11 +7,14 @@ Three strategies, by scale:
 * ``cosine_topk_relational`` — exact brute force as pure relational ops
   with a deterministic left-to-right dot-product fold (functions.dot_fold)
   → bit-replayable by the SQL oracle. O(n²) pairs: correctness baseline.
-* ``cosine_topk_blocked`` — exact brute force, numpy matmul inside
-  applyInPandas over query blocks against a broadcast item matrix: the
-  fast single-machine path (Arrow batches, BLAS). Same results, ~100×.
-* ``knn_per_cell`` — the scale path: equi-join restricted to each point's
-  own (salted) spatial cell + halo, so comparisons stay local; the 10¹²
+* ``cosine_topk_blocked`` — exact brute force as a distributed block-grid
+  matrix multiply: both sides packed into block rows executor-side (no
+  driver collect), item blocks broadcast, one BLAS matmul per block pair,
+  window merge. Same results incl. ties, ~100× the relational path.
+* ``cosine_topk_ivf`` / ``ivf_candidate_pairs`` — the approximate scale
+  path: codebook-bucketed candidates, one shuffle on bucket id.
+* ``knn_per_cell`` — the spatial scale path: comparisons restricted to
+  each point's own (salted) cell, bounded-domain counting top-k; the 10¹²
   analog of GEE's withinDistance join (src/utils/sampling.py:12-28).
 
 Hamming kNN over phash (images) / simhash (docs) uses the same shapes

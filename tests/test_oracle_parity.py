@@ -19,6 +19,8 @@ SUBSET = [
     "tile_assignment", "tile_zonal", "cell_morton", "distance_pairs",
     "stratified_sample", "pct_composite", "ols_trend", "argmax_user_type",
     "minhash_signatures", "simhash", "fingerprint", "ann_cosine_topk",
+    "harmonic_phase_amp", "harmonic_rgb", "terrain_correction",
+    "cosine_near_dup", "cosine_topk_blocked", "intersect_keys", "lsh_pairs",
 ]
 
 
