@@ -698,6 +698,20 @@ def q_cosine_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        threshold=0.35, n_centroids=8, nprobe=6)
 
 
+def q_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming near-dup (simhash/phash dedup scale path): exact
+    pairs within distance 6 via 8 bit-band equi-joins + verify — never
+    the cross product. Hashes derive group structure (doc_id % 11 in the
+    high band, Lehmer noise in the low bits) so same-group pairs are
+    near and cross-group pairs are far."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    h = (F.shiftleft(F.col("doc_id") % 11, 32)
+         .bitwiseOR(F.col("doc_id") * F.lit(48271) % F.lit(64)))
+    sig = docs.select("doc_id", h.alias("h"))
+    return DD.hamming_near_dup_banded(sig, max_dist=6, bands=8,
+                                      hash_col="h")
+
+
 def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming top-3 over derived 62-bit hashes (phash-kNN shape)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -816,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "cosine_near_dup": q_cosine_near_dup,
+        "hamming_near_dup": q_hamming_near_dup,
         "cosine_near_dup_bucketed": q_cosine_near_dup_bucketed,
         "image_invariants": q_image_invariants,
         "resize_stats": q_resize_stats,
@@ -1435,6 +1450,16 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY {dot64} DESC, b.vec_id ASC) AS rn
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rn <= 5
+        """,
+        "hamming_near_dup": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((doc_id % 11) << 32) | ((doc_id * 48271) % 64) AS h
+                FROM documents WHERE doc_id < 500)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.h, b.h)) AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 6
         """,
         "knn_hamming": f"""
             WITH h AS (

@@ -113,6 +113,35 @@ def test_cosine_near_dup_bucketed_recall(spark):
     assert n_cand < 0.5 * n * (n - 1) / 2, n_cand  # genuinely not all-pairs
 
 
+def test_hamming_banded_equals_bruteforce(spark):
+    """Pigeonhole-banded near-dup == cross-join baseline, on the real
+    16-bit simhash of the documents fixture (4 bands of 4 bits,
+    max_dist 3) AND on adversarial 64-bit hashes (8 bands, max_dist 7,
+    incl. negative hashes exercising sign-extension-proof banding)."""
+    import numpy as np
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = DD.simhash(docs)
+    a = sorted(map(tuple, DD.hamming_near_dup_pairs(sig, 3).collect()))
+    b = sorted(map(tuple, DD.hamming_near_dup_banded(
+        sig, 3, bands=4, hash_bits=16).collect()))
+    assert a == b and len(a) > 0
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(-2**63, 2**63 - 1, 30, dtype=np.int64)
+    rows = []
+    for i, h in enumerate(base):
+        rows.append((2 * i, int(h)))
+        flip = int(h) ^ sum(1 << int(b_) for b_ in rng.integers(0, 64, 3))
+        rows.append((2 * i + 1, int(np.int64(np.uint64(flip % 2**64)))))
+    sig64 = spark.createDataFrame(rows, "doc_id long, simhash long")
+    a = sorted(map(tuple, DD.hamming_near_dup_pairs(sig64, 7).collect()))
+    b = sorted(map(tuple, DD.hamming_near_dup_banded(sig64, 7).collect()))
+    assert a == b and len(a) >= 30
+
+    with pytest.raises(ValueError, match="max_dist < bands"):
+        DD.hamming_near_dup_banded(sig64, 8, bands=8)
+
+
 def test_token_dictionary_dense_ids(spark):
     """Test-scale dense-rank dictionary (kept as the oracle-friendly
     variant; production path is token_tid): lexicographic dense ids."""
