@@ -121,8 +121,8 @@ def main() -> None:
     u32 = run_bench(32, None, n_images, n_flag)
 
     eff_primary = (f2 / f8) / 4.0
-    tph2 = n_flag / f2
-    tph8 = n_flag / f8
+    tph2 = n_flag_primary / f2
+    tph8 = n_flag_primary / f8
 
     lines = [
         "# BENCH — scaling evidence (N vs 4N parallelism)",
