@@ -62,6 +62,17 @@ def test_extraction_join_broadcasts_small_side(spark, fixture_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_composite_build_is_two_shuffles(spark, fixture_dir):
+    """The fused composite pipeline's physical plan: exactly one Exchange
+    for the halo-tile morphology groupBy and one for the fused
+    percentile+harmonic hash-agg — and no SinglePartition anywhere."""
+    from kaza_lcms_spark.operators import composite_pipeline as CP
+    ts = spark.read.parquet(fixture_dir + "/s2_timeseries.parquet")
+    plan = plan_of(CP.build_composite(ts))
+    assert plan.count("Exchange") == 2, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_session_defaults(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
