@@ -534,6 +534,20 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_clusters(pairs)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: which documents survive —
+    every near-dup cluster keeps its lowest-id representative, documents
+    in no cluster pass through. candidates → Jaccard verify → CC →
+    left-anti the non-representatives: the full pretraining dedup flow
+    as one plan."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = DD.jaccard_pairs(docs, threshold=0.92).select("a", "b")
+    losers = (DD.duplicate_clusters(pairs)
+              .where(F.col("doc_id") != F.col("cluster_id"))
+              .select("doc_id"))
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/P8: customers with no high-value (>250k) order (left anti)."""
     c = _t(spark, sf_dir, "customer")
@@ -803,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "sessionize": q_sessionize,
         "dup_clusters": q_dup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "anti_join": q_anti_join,
         "semi_agg": q_semi_agg,
         "first_match_join": q_first_match_join,
@@ -887,6 +902,28 @@ def oracle_sql() -> dict[str, str]:
                        / (n*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
                           + ss*(sc*scs - scc*ss)) AS bsu
                 FROM g)"""
+
+    dup_cc_cte = """
+            docs AS (SELECT * FROM documents WHERE doc_id < 60),
+            dtoks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM docs),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM dtoks GROUP BY 1),
+            com AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+                FROM dtoks x JOIN dtoks y
+                  ON x.token = y.token AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT a, b FROM com
+                JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                WHERE ROUND(common / (sa.sz + sb.sz - common), 4) >= 0.92),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            reach(node, lbl) AS (
+                SELECT x, x FROM edges
+                UNION
+                SELECT e.x, r.lbl FROM edges e JOIN reach r ON r.node = e.y)"""
 
     tok_cte = """
         toks AS (
@@ -1257,28 +1294,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value
             FROM s GROUP BY 1, 2
         """,
-        "dup_clusters": """
-            WITH RECURSIVE
-            docs AS (SELECT * FROM documents WHERE doc_id < 60),
-            toks AS (
-                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
-                FROM docs),
-            sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
-            com AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
-                FROM toks x JOIN toks y ON x.token = y.token AND x.doc_id < y.doc_id
-                GROUP BY 1, 2),
-            pairs AS (
-                SELECT a, b FROM com
-                JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-                WHERE ROUND(common / (sa.sz + sb.sz - common), 4) >= 0.92),
-            edges AS (SELECT a AS x, b AS y FROM pairs
-                      UNION ALL SELECT b, a FROM pairs),
-            reach(node, lbl) AS (
-                SELECT x, x FROM edges
-                UNION
-                SELECT e.x, r.lbl FROM edges e JOIN reach r ON r.node = e.y)
+        "dup_clusters": f"""
+            WITH RECURSIVE {dup_cc_cte}
             SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE {dup_cc_cte},
+            cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY 1)
+            SELECT doc_id FROM docs
+            WHERE doc_id NOT IN
+                  (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
         """,
         "anti_join": """
             SELECT c_custkey FROM customer c

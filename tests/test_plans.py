@@ -67,7 +67,11 @@ def test_composite_build_is_two_shuffles(spark, fixture_dir):
     for the halo-tile morphology groupBy and one for the fused
     percentile+harmonic hash-agg — and no SinglePartition anywhere."""
     from kaza_lcms_spark.operators import composite_pipeline as CP
-    ts = spark.read.parquet(fixture_dir + "/s2_timeseries.parquet")
+    # the no-op filter makes the logical plan distinct from other tests'
+    # CACHED build_composite call — otherwise the cache manager swaps in
+    # an InMemoryTableScan and hides the real plan
+    ts = (spark.read.parquet(fixture_dir + "/s2_timeseries.parquet")
+          .where(F.col("cell_id") >= -1))
     plan = plan_of(CP.build_composite(ts))
     assert plan.count("Exchange") == 2, plan
     assert "SinglePartition" not in plan, plan
