@@ -243,6 +243,25 @@ def q_spectral_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(KF.savi(F.col("nir"), F.col("red")), 6).alias("savi"))
 
 
+def q_tasseled_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 full form: 6×6 tasseled-cap matmul (brightness..sixth,
+    /root/reference/src/utils/covariates.py:36-55) as codegen column
+    algebra over six pseudo-bands."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_discount") + F.lit(0.01)).alias("blue"),
+        (F.col("l_tax") + F.lit(0.02)).alias("green"),
+        (F.col("l_quantity") / F.lit(50.0)).alias("red"),
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("nir"),
+        ((F.col("l_orderkey") % F.lit(97)) / F.lit(97.0)).alias("swir1"),
+        (F.col("l_linenumber") / F.lit(7.0)).alias("swir2"))
+    tc = KF.tasseled_cap(
+        [F.col(b) for b in ("blue", "green", "red", "nir", "swir1", "swir2")])
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        *[F.round(c, 6).alias(n) for n, c in tc.items()])
+
+
 def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec invariant check over the contract-shaped images fixture
     (BASELINE.json::input_hint): lossless round-trip + phash equality +
@@ -800,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shadow_project": q_shadow_project,
         "ceo_format": q_ceo_format,
         "spectral_indices": q_spectral_indices,
+        "tasseled_cap": q_tasseled_cap,
         "stratified_sample": q_stratified_sample,
         "split_counts": q_split_counts,
         "pct_composite": q_pct_composite,
@@ -829,23 +849,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        # the similarity-search flagship family sits INSIDE the driver's
+        # 50-query gate window (the driver checks only the first 50
+        # entries; round-2 verdict item #1). The displaced text-surface
+        # queries below position 50 stay oracle-gated via tools/parity.py.
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_hamming": q_knn_hamming,
+        "cosine_topk_blocked": q_cosine_topk_blocked,
+        "cosine_near_dup": q_cosine_near_dup,
+        "hamming_near_dup": q_hamming_near_dup,
         "jaccard_pairs": q_jaccard_pairs,
         "ngram3_jaccard": q_ngram3_jaccard,
-        "simhash": q_simhash,
         "text_quality": q_text_quality,
         "lang_signal": q_lang_signal,
         "regex_tokens": q_regex_tokens,
         "fingerprint": q_fingerprint,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_hamming": q_knn_hamming,
         # non-SQL-expressible (rows-only checks):
         "thinning": q_thinning,
         "thinning_exact": q_thinning_exact,
         "harmonic_fit": q_harmonic_fit,
-        "cosine_topk_blocked": q_cosine_topk_blocked,
         "cosine_topk_ivf": q_cosine_topk_ivf,
-        "cosine_near_dup": q_cosine_near_dup,
-        "hamming_near_dup": q_hamming_near_dup,
         "cosine_near_dup_bucketed": q_cosine_near_dup_bucketed,
         "image_invariants": q_image_invariants,
         "resize_stats": q_resize_stats,
@@ -866,6 +890,13 @@ def oracle_sql() -> dict[str, str]:
     mh = DD.MINHASH_PARAMS
     dot64 = O.dot_product_sql("a.embedding", "b.embedding", 64)
     simhash16 = O.simhash_agg_sql("h", 16)
+    # TC select list generated from the engine's coefficient table so both
+    # sides share the exact float literals and accumulation order.
+    _tc_bands = ("blue", "green", "red", "nir", "swir1", "swir2")
+    _tc_select = ",\n                   ".join(
+        "ROUND(" + " + ".join(f"{b}*{c!r}" for b, c in zip(_tc_bands, coefs))
+        + f", 6) AS {comp}"
+        for comp, coefs in KF.TASSELED_CAP.items())
 
     # Shuffle-free token ids: md5-hex48 hash, identical on both engines
     # (operators.text.token_tid / token_tid_sql). No dictionary CTE.
@@ -1117,6 +1148,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2.5 * (nir - red)
                          / (nir + 6.0 * red - 7.5 * blue + 1.0), 6) AS evi,
                    ROUND((nir - red) / (nir + red + 0.9) * 1.9, 6) AS savi
+            FROM b
+        """,
+        "tasseled_cap": f"""
+            WITH b AS (
+                SELECT l_orderkey, l_linenumber,
+                       l_discount + CAST(0.01 AS DOUBLE) AS blue,
+                       l_tax + CAST(0.02 AS DOUBLE) AS green,
+                       l_quantity / CAST(50.0 AS DOUBLE) AS red,
+                       l_extendedprice / CAST(100000.0 AS DOUBLE) AS nir,
+                       (l_orderkey % 97) / CAST(97.0 AS DOUBLE) AS swir1,
+                       l_linenumber / CAST(7.0 AS DOUBLE) AS swir2
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   {_tc_select}
             FROM b
         """,
         "stratified_sample": f"""
@@ -1460,7 +1505,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id, b.vec_id AS neighbor_id,
                        ROUND({dot64}, 4) AS cos,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                           ORDER BY {dot64} DESC, b.vec_id ASC) AS rn
+                           ORDER BY ROUND({dot64}, 4) DESC, b.vec_id ASC) AS rn
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rn <= 5
         """,
@@ -1473,7 +1518,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, neighbor_id FROM (
                 SELECT a.vec_id, b.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                           ORDER BY {dot64} DESC, b.vec_id ASC) AS rn
+                           ORDER BY ROUND({dot64}, 4) DESC, b.vec_id ASC) AS rn
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rn <= 5
         """,

@@ -53,6 +53,36 @@ def savi(nir: Column, red: Column, L: float = 0.9) -> Column:
     return (nir - red) / (nir + red + F.lit(L)) * F.lit(1.0 + L)
 
 
+#: Kauth-Thomas tasseled-cap coefficient rows over
+#: [blue, green, red, nir, swir1, swir2] — semantics-mandated constants of
+#: the reference's getTasseledCap (/root/reference/src/utils/covariates.py:36-55).
+TASSELED_CAP = {
+    "brightness": (0.3037, 0.2793, 0.4743, 0.5585, 0.5082, 0.1863),
+    "greenness": (-0.2848, -0.2435, -0.5436, 0.7243, 0.0840, -0.1800),
+    "wetness": (0.1509, 0.1973, 0.3279, 0.3406, -0.7112, -0.4572),
+    "fourth": (-0.8242, 0.0849, 0.4392, -0.0580, 0.2012, -0.2768),
+    "fifth": (-0.3280, 0.0549, 0.1075, 0.1855, -0.4357, 0.8085),
+    "sixth": (0.1084, -0.9022, 0.4120, 0.0573, -0.0251, 0.0238),
+}
+
+
+def tasseled_cap(bands: list[Column]) -> dict[str, Column]:
+    """F6 full form: the reference's 6×6 per-pixel tasseled-cap matrix
+    multiply (/root/reference/src/utils/covariates.py:36-55 matrixMultiply
+    → brightness/greenness/wetness/fourth/fifth/sixth) expressed as six
+    left-to-right weighted sums of scalar band columns — pure column
+    algebra inside whole-stage codegen (no array image, no UDF), and the
+    fixed accumulation order makes it replayable in ANSI SQL bit-for-bit.
+    `bands` = [blue, green, red, nir, swir1, swir2]."""
+    out = {}
+    for comp, coefs in TASSELED_CAP.items():
+        acc = bands[0] * F.lit(coefs[0])
+        for b, c in zip(bands[1:], coefs[1:]):
+            acc = acc + b * F.lit(c)
+        out[comp] = acc
+    return out
+
+
 def argmax_index(arr: Column) -> Column:
     """1-based index of the max element, first occurrence wins ties — the
     assemblage rule (+1 class offset) of

@@ -44,13 +44,16 @@ def cosine_topk_relational(emb: DataFrame, k: int = 5,
     a = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     b = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     dot = KF.dot_fold(F.col("qv"), F.col("nv"))
+    # rank on the ROUNDED cos (the emitted precision) so the rank-k
+    # boundary cannot flip on sub-ulp accumulation differences between
+    # the fold, BLAS (cosine_topk_blocked) and the SQL oracle
     pairs = (a.crossJoin(b).where(F.col("qid") != F.col("nid"))
-             .select("qid", "nid", dot.alias("cos")))
+             .select("qid", "nid", F.round(dot, 4).alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (pairs.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select(F.col("qid").alias("vec_id"), F.col("nid").alias("neighbor_id"),
-                    F.round(F.col("cos"), 4).alias("cos")))
+                    "cos"))
 
 
 def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, prefix: str,
@@ -68,8 +71,11 @@ def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, prefix: str,
     ])
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os
-        base = (os.getpid() & 0xFFFF) << 32
+        from pyspark import TaskContext
+        # partition id (not os.getpid: reused Python workers share a pid
+        # across tasks, which would collide block ids between partitions
+        # and merge unrelated block pairs into one applyInPandas group)
+        base = (TaskContext.get().partitionId() & 0x7FFFFFFF) << 32
         seq = 0
         for b in batches:
             for s in range(0, len(b), block_rows):
@@ -117,7 +123,10 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
             iids = np.asarray(row.iids, dtype=np.int64)
             Q = np.asarray(row.qvecs, dtype=np.float64).reshape(len(qids), -1)
             M = np.asarray(row.ivecs, dtype=np.float64).reshape(len(iids), -1)
-            sims = Q @ M.T
+            # round to the emitted precision BEFORE ranking so block-pair
+            # pruning, the merge window, and the SQL oracle all rank on
+            # identical keys (BLAS vs fold differ in the last ulp)
+            sims = np.round(Q @ M.T, 4)
             sims[qids[:, None] == iids[None, :]] = -np.inf   # exclude self
             kk = min(k, sims.shape[1])
             for r in range(len(qids)):
@@ -136,7 +145,7 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
                                              F.col("neighbor_id").asc())
     return (cands.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
-            .select("vec_id", "neighbor_id", F.round("cos", 4).alias("cos")))
+            .select("vec_id", "neighbor_id", "cos"))
 
 
 def _kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 8,
