@@ -102,7 +102,9 @@ def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic resize, pure numpy. Downscale: exact mean over the
     integer pixel box [floor(i·h/oh), floor((i+1)·h/oh)) per output cell
     (area resampling via two reduceat passes — no Python loop). Upscale
-    (per axis): nearest-neighbor index map. Rounded half-up to uint8."""
+    (per axis): nearest-neighbor index map. Rounded half-to-even
+    (np.round banker's rounding: exact .5 box means go to the even
+    neighbor) to uint8."""
     p = pixels.astype(np.float64)
     h, w = p.shape
 

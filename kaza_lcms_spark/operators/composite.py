@@ -123,60 +123,93 @@ def harmonic_fit(df: DataFrame, group_col: str, t_col: str, y_col: str,
 
 def percentile_harmonic_composite(df: DataFrame, group_col: str,
                                   band_cols: list[str], t_col: str,
-                                  y_col: str, period: float = 1.0,
-                                  pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9)
-                                  ) -> DataFrame:
+                                  y_col: str | list[str], period: float = 1.0,
+                                  pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+                                  approx: bool = False,
+                                  accuracy: int = 10000) -> DataFrame:
     """A1 + A2 fused: percentiles AND the harmonic Gram sufficient
     statistics in ONE groupBy on the cell key — a single shuffle and a
     single pass over the observations, versus computing the two
     composites separately (which re-evaluates the masked/derived input
-    twice and joins the results). Output = percentile_composite columns +
-    harmonic_fit columns (coef_*, phase, amplitude); groups with fewer
-    than 4 valid y observations get NaN harmonic outputs (the unfused
-    left join produced NULLs there)."""
+    twice and joins the results).
+
+    ``y_col`` may be a list: the reference fits harmonics per configured
+    band (nir + swir1 — /root/reference/src/utils/harmonics.py:79-124,
+    model_inputs), and the fused agg extends naturally — each band adds
+    its own 14 sufficient-statistic scalars to the SAME hash-agg, still
+    one shuffle. Single-band output keeps the unsuffixed names
+    (coef_*, phase, amplitude); multi-band suffixes _{band}.
+
+    ``approx=True`` swaps the exact `percentile` for the Greenwald-Khanna
+    `percentile_approx` sketch (rank error ≤ 1/accuracy, tested): the
+    exact agg buffers every group value on one reducer, the sketch is
+    O(accuracy) per group — the multi-decade 100 TB archive path.
+
+    A row contributes to a band's normal equations only when BOTH that
+    band's y and t are non-null (a null-t row would otherwise count in
+    G[0,0] but drop from every t-dependent sum — inconsistent equations).
+    Under-determined or singular groups (< 4 valid rows) emit NULL
+    harmonic columns, matching the unfused left join."""
     w = 2.0 * np.pi / period
     t = F.col(t_col)
     xs = [F.lit(1.0), t, F.cos(F.lit(w) * t), F.sin(F.lit(w) * t)]
     names = ["c", "t", "cos", "sin"]
-    valid = F.col(y_col).isNotNull()
+    y_cols = [y_col] if isinstance(y_col, str) else list(y_col)
+    sfx = {y: "" if isinstance(y_col, str) else f"_{y}" for y in y_cols}
+    pct_f = F.percentile_approx if approx else F.percentile
+    pct_args = (F.lit(accuracy),) if approx else ()
     aggs = []
     for b in band_cols:
         for p in pcts:
-            aggs.append(F.percentile(F.col(b), F.lit(p)).alias(f"p{int(p*100)}_{b}"))
-    for i in range(4):
-        for j in range(i, 4):
-            aggs.append(F.sum(F.when(valid, xs[i] * xs[j])).alias(f"_g_{i}{j}"))
-        aggs.append(F.sum(F.when(valid, xs[i] * F.col(y_col))).alias(f"_b_{i}"))
+            aggs.append(pct_f(F.col(b), F.lit(p), *pct_args)
+                        .alias(f"p{int(p*100)}_{b}"))
+    for y in y_cols:
+        valid = F.col(y).isNotNull() & t.isNotNull()
+        for i in range(4):
+            for j in range(i, 4):
+                aggs.append(F.sum(F.when(valid, xs[i] * xs[j]))
+                            .alias(f"_g{sfx[y]}_{i}{j}"))
+            aggs.append(F.sum(F.when(valid, xs[i] * F.col(y)))
+                        .alias(f"_b{sfx[y]}_{i}"))
     g = df.groupBy(group_col).agg(*aggs)
 
     pct_cols = [f"p{int(p*100)}_{b}" for b in band_cols for p in pcts]
+    harm_cols = [c for y in y_cols
+                 for c in ([f"coef_{n}{sfx[y]}" for n in names]
+                           + [f"phase{sfx[y]}", f"amplitude{sfx[y]}"])]
     out_schema = StructType(
         [g.schema[group_col]]
         + [StructField(c, DoubleType()) for c in pct_cols]
-        + [StructField(f"coef_{n}", DoubleType()) for n in names]
-        + [StructField("phase", DoubleType()), StructField("amplitude", DoubleType())]
+        + [StructField(c, DoubleType()) for c in harm_cols]
     )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
-        G = np.zeros((m, 4, 4))
-        B = np.zeros((m, 4))
-        for i in range(4):
-            for j in range(i, 4):
-                G[:, i, j] = G[:, j, i] = pdf[f"_g_{i}{j}"].fillna(0.0)
-            B[:, i] = pdf[f"_b_{i}"].fillna(0.0)
-        coef = np.full((m, 4), np.nan)
-        ok = G[:, 0, 0] >= 4
-        ok[ok] = np.abs(np.linalg.det(G[ok])) > 1e-12
-        if ok.any():
-            coef[ok] = np.linalg.solve(G[ok], B[ok])
         out = pd.DataFrame({group_col: pdf[group_col]})
         for c in pct_cols:
             out[c] = pdf[c]
-        for k, n in enumerate(names):
-            out[f"coef_{n}"] = coef[:, k]
-        out["phase"] = np.arctan2(coef[:, 2], coef[:, 3])
-        out["amplitude"] = np.hypot(coef[:, 2], coef[:, 3])
+        for y in y_cols:
+            s = sfx[y]
+            G = np.zeros((m, 4, 4))
+            B = np.zeros((m, 4))
+            for i in range(4):
+                for j in range(i, 4):
+                    G[:, i, j] = G[:, j, i] = pdf[f"_g{s}_{i}{j}"].fillna(0.0)
+                B[:, i] = pdf[f"_b{s}_{i}"].fillna(0.0)
+            coef = np.full((m, 4), np.nan)
+            ok = G[:, 0, 0] >= 4
+            ok[ok] = np.abs(np.linalg.det(G[ok])) > 1e-12
+            if ok.any():
+                coef[ok] = np.linalg.solve(G[ok], B[ok])
+            # pd.array(Float64) masks NaN -> Spark NULL: NaN is not NULL in
+            # Spark (isNull misses it, it sorts greatest), and the unfused
+            # path's left join emits NULL for these groups
+            for k, n in enumerate(names):
+                out[f"coef_{n}{s}"] = pd.array(coef[:, k], dtype="Float64")
+            out[f"phase{s}"] = pd.array(
+                np.arctan2(coef[:, 2], coef[:, 3]), dtype="Float64")
+            out[f"amplitude{s}"] = pd.array(
+                np.hypot(coef[:, 2], coef[:, 3]), dtype="Float64")
         return out
 
     return g.mapInPandas(lambda it: (solve(p) for p in it if len(p)), out_schema)

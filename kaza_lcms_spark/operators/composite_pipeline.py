@@ -64,12 +64,23 @@ def add_indices(df: DataFrame) -> DataFrame:
 def build_composite(ts_df: DataFrame,
                     bands: list[str] = BANDS,
                     index_cols: tuple[str, ...] = ("ndvi", "ndwi", "evi", "savi"),
-                    harmonic_band: str = "ndvi",
-                    pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9)
-                    ) -> DataFrame:
+                    harmonic_band: str | list[str] = "ndvi",
+                    pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+                    approx: bool = False,
+                    accuracy: int = 10000) -> DataFrame:
     """Full composite: mask → indices → fused percentiles+harmonics.
     Returns one wide row per cell_id (p{q}_{band/index} + harmonic coefs
     + phase/amplitude), the reference's exported composite image.
+    Under-determined cells (< 4 clear observations) get NULL harmonic
+    columns.
+
+    ``harmonic_band`` may be a list (the reference fits nir + swir1,
+    /root/reference/src/utils/harmonics.py:79-124 + model_inputs) — each
+    extra band adds 14 scalars to the SAME hash-agg, no extra shuffle;
+    multi-band outputs suffix _{band}. ``approx=True`` routes the
+    percentiles through the percentile_approx sketch (O(accuracy) per
+    group instead of buffering every observation — the multi-decade
+    archive path; rank error ≤ 1/accuracy, tested vs exact).
 
     Physical shape: tiled morphology is ONE shuffle on (ts, tile); both
     reductions share ONE hash-agg on cell_id (percentiles + Gram sums in
@@ -81,4 +92,4 @@ def build_composite(ts_df: DataFrame,
     value_cols = list(bands) + list(index_cols)
     return C.percentile_harmonic_composite(
         feat, "cell_id", value_cols, "t_frac", harmonic_band,
-        period=1.0, pcts=pcts)
+        period=1.0, pcts=pcts, approx=approx, accuracy=accuracy)

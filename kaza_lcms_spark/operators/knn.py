@@ -340,9 +340,15 @@ def _knn_block(ids: np.ndarray, h: np.ndarray, q_rows: np.ndarray,
 def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
                          out_col: str = "cap_hash") -> DataFrame:
     """64-bit SimHash of the caption token multiset (numpy-vectorized per
-    Arrow batch): tokens → splitmix64 → signed bit votes → sign pack.
-    Feeds the per-cell kNN so 'caption neighbors per cell'
-    (BASELINE.json::north_star) reuses the Hamming-kNN machinery."""
+    Arrow batch): tokens → FNV-1a → splitmix64 → signed bit votes → sign
+    pack. Feeds the per-cell kNN so 'caption neighbors per cell'
+    (BASELINE.json::north_star) reuses the Hamming-kNN machinery.
+
+    The FNV fold is vectorized over byte POSITIONS, not tokens: unique
+    tokens are packed into numpy's fixed-width byte matrix (S dtype pads
+    with NULs for free) and the fold iterates ≤ max-token-length times
+    over full columns — no per-token Python loop anywhere (same hashes
+    as the scalar fold, tested)."""
     from ..kernels import rand as RND
 
     @F.pandas_udf(LongType())
@@ -351,18 +357,22 @@ def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
         lens = toks.str.len().to_numpy()
         flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
             if len(toks) else np.array([], dtype=object)
-        # token -> uint64 via Python hash is session-salted; use FNV fold
-        codes = np.empty(len(flat), dtype=np.uint64)
-        seen: dict[str, int] = {}
-        for i, t in enumerate(flat):
-            v = seen.get(t)
-            if v is None:
-                h = 0xCBF29CE484222325
-                for bch in t.encode():
-                    h = ((h ^ bch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                v = seen[t] = h
-            codes[i] = v
-        codes = RND.mix64(codes)
+        # token -> uint64: FNV-1a over utf-8 bytes (Python hash() is
+        # session-salted). Each unique token is hashed once.
+        uq, inv = np.unique(flat.astype("U"), return_inverse=True) \
+            if len(flat) else (np.array([], dtype="U1"), np.array([], dtype=np.int64))
+        h = np.full(len(uq), 0xCBF29CE484222325, dtype=np.uint64)
+        if len(uq):
+            enc = np.char.encode(uq, "utf-8")
+            blens = np.char.str_len(enc)
+            width = enc.dtype.itemsize
+            M = np.frombuffer(enc.tobytes(), np.uint8) \
+                  .reshape(len(uq), width).astype(np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for j in range(width):
+                act = blens > j
+                h[act] = (h[act] ^ M[act, j]) * prime
+        codes = RND.mix64(h[inv])
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         bits = ((codes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int32) * 2 - 1

@@ -102,3 +102,72 @@ def test_mean_composite(spark, series_df):
         by[g].append(y)
     for g, ys in by.items():
         assert out[g] == pytest.approx(np.mean(ys))
+
+
+def test_fused_approx_composite(spark, series_df):
+    """A1 approx inside the FUSED agg (the multi-decade-archive path):
+    percentile columns within the GK rank-error bound of exact; harmonic
+    columns identical (same Gram sums either way)."""
+    df, rows = series_df
+    acc = 1000
+    exact = {r["grp"]: r for r in C.percentile_harmonic_composite(
+        df, "grp", ["y"], "t", "y").collect()}
+    approx = {r["grp"]: r for r in C.percentile_harmonic_composite(
+        df, "grp", ["y"], "t", "y", approx=True, accuracy=acc).collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, t, y in rows:
+        by[g].append(y)
+    for g, ys in by.items():
+        for p in (10, 25, 50, 75, 90):
+            got = approx[g][f"p{p}_y"]
+            lo = np.percentile(ys, max(p - 100 * 1.5 / acc, 0), method="lower")
+            hi = np.percentile(ys, min(p + 100 * 1.5 / acc, 100), method="higher")
+            assert lo <= got <= hi, (g, p, got, lo, hi)
+        for c in ("coef_c", "coef_t", "coef_cos", "coef_sin",
+                  "phase", "amplitude"):
+            assert approx[g][c] == pytest.approx(exact[g][c], rel=1e-12), (g, c)
+
+
+def test_fused_multiband_harmonics(spark, series_df):
+    """Multi-band harmonics (reference fits nir + swir1): fused list-y
+    output == per-band unfused harmonic_fit, with _{band} suffixes."""
+    from pyspark.sql import functions as F
+    df, rows = series_df
+    df2 = df.withColumn("y2", F.col("y") * 0.5 + 1.0)
+    fused = {r["grp"]: r for r in C.percentile_harmonic_composite(
+        df2, "grp", ["y"], "t", ["y", "y2"]).collect()}
+    for band in ("y", "y2"):
+        want = {r["grp"]: r for r in
+                C.harmonic_fit(df2, "grp", "t", band).collect()}
+        for g in want:
+            for n in ("c", "t", "cos", "sin"):
+                assert fused[g][f"coef_{n}_{band}"] == pytest.approx(
+                    want[g][f"coef_{n}"], rel=1e-9), (g, n, band)
+            assert fused[g][f"phase_{band}"] == pytest.approx(want[g]["phase"])
+            assert fused[g][f"amplitude_{band}"] == pytest.approx(
+                want[g]["amplitude"])
+
+
+def test_fused_null_contracts(spark):
+    """Under-determined groups emit NULL (not NaN: isNull misses NaN and
+    NaN sorts greatest) harmonic columns, and a null-t row is excluded
+    from ALL sufficient-statistic sums, not just the t-dependent ones."""
+    from pyspark.sql import functions as F
+    rows = [
+        (0, 0.1, 1.0), (0, 0.4, 2.0),                      # < 4 rows
+        (1, 0.0, 1.0), (1, 0.2, 2.0), (1, 0.5, 1.5),
+        (1, 0.7, 0.5), (1, 0.9, 1.2),
+        (1, None, 99.0),                                   # null t
+    ]
+    df = spark.createDataFrame(rows, "g long, t double, y double")
+    out = {r["g"]: r for r in C.percentile_harmonic_composite(
+        df, "g", ["y"], "t", "y").collect()}
+    for c in ("coef_c", "coef_t", "coef_cos", "coef_sin",
+              "phase", "amplitude"):
+        assert out[0][c] is None, c
+    clean = df.where(F.col("t").isNotNull())
+    want = {r["g"]: r for r in C.harmonic_fit(clean, "g", "t", "y").collect()}
+    for n in ("c", "t", "cos", "sin"):
+        assert out[1][f"coef_{n}"] == pytest.approx(
+            want[1][f"coef_{n}"], rel=1e-9), n
