@@ -166,3 +166,28 @@ def test_token_tid_matches_duckdb(spark):
             f"SELECT {T.token_tid_sql('?')}".replace("md5(?)", "md5(?)"), [t]
         ).fetchone()[0]
         assert got[t] == want, t
+
+
+def test_duplicate_clusters_long_chain_pointer_doubling(spark):
+    """A 300-link duplicate chain (diameter 300) closes in O(log d)
+    rounds via pointer doubling; plain propagation needs a round per
+    link and must exhaust max_rounds=16 loudly."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(300)],
+                                  "a long, b long")
+    rows = DD.duplicate_clusters(pairs, max_rounds=16).collect()
+    assert len(rows) == 301
+    assert all(r["cluster_id"] == 0 for r in rows)
+    with pytest.raises(RuntimeError):
+        DD.duplicate_clusters(pairs, max_rounds=16, shortcut=False)
+
+
+def test_duplicate_clusters_shortcut_equals_plain(spark):
+    """Pointer doubling changes round count, never the fixpoint: same
+    labels as plain propagation on a multi-component fixture."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11), (11, 12), (20, 21)],
+        "a long, b long")
+    a = sorted(map(tuple, DD.duplicate_clusters(pairs).collect()))
+    b = sorted(map(tuple,
+                   DD.duplicate_clusters(pairs, shortcut=False).collect()))
+    assert a == b

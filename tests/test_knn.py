@@ -111,8 +111,9 @@ def test_cosine_ivf_recall(spark):
 
 
 def test_cosine_ivf_deterministic_across_partitionings(spark):
-    """The IVF codebook samples the lowest-id rows (not bare limit), so
-    results are a pure function of the data regardless of partitioning."""
+    """The IVF codebook samples the lowest xxhash64(id) rows (not bare
+    limit), so results are a pure function of the data regardless of
+    partitioning."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a = sorted(map(tuple, KNN.cosine_topk_ivf(
         spark, emb, k=5, n_centroids=8, nprobe=6).collect()))
@@ -143,3 +144,30 @@ def test_caption_knn_per_cell(spark, fixture_dir):
     # simhash is deterministic across partitionings
     out2 = KNN.caption_knn_per_cell(pts.repartition(7), k=3)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_cosine_ivf_codebook_unbiased_on_id_ordered_corpus(spark):
+    """Content correlates with id order (first half cluster A, second
+    half cluster B) and sample_rows is smaller than either half: a
+    lowest-id codebook sample would train only on cluster A and crater
+    recall for B; the hash-ordered sample sees both."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    n, dim = 400, 16
+    base = np.zeros((n, dim))
+    base[:n // 2, 0] = 1.0
+    base[n // 2:, 1] = 1.0
+    v = base + rng.normal(0, 0.15, (n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {}
+    for r in KNN.cosine_topk_relational(emb, k=5).collect():
+        exact.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in KNN.cosine_topk_ivf(spark, emb, k=5, n_centroids=4, nprobe=2,
+                                 sample_rows=80).collect():
+        approx.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.85, f"recall {recall:.3f} on id-clustered corpus"
