@@ -49,6 +49,15 @@ def main() -> None:
         SJ.with_cell(SJ.with_footprint(imgs.select("image_id", "phash")),
                      level=10), k=5).count())
 
+    # composite at 4x the bench's cell count (level 14): exact percentile
+    # vs the GK-sketch fused path (the multi-decade-archive shape)
+    from kaza_lcms_spark.operators import composite_pipeline as CP
+    ts14 = spark.createDataFrame(
+        datagen.generate_s2_timeseries(level=14).to_pandas()).cache()
+    n_obs = ts14.count()
+    t_comp = best2(lambda: CP.build_composite(ts14).count())
+    t_comp_a = best2(lambda: CP.build_composite(ts14, approx=True).count())
+
     lines = [
         "",
         f"## Scale probe: {n:,}-image corpus (local[32])",
@@ -64,6 +73,10 @@ def main() -> None:
         f"{n / t_decode:,.0f} images/sec |",
         f"| per-cell phash kNN (k=5, level-10 cells, skewed) | {t_knn:.2f} | "
         f"{n / t_knn:,.0f} images/sec |",
+        f"| composite build, exact percentile ({n_obs:,} obs, level-14) | "
+        f"{t_comp:.2f} | {n_obs / t_comp:,.0f} obs/sec |",
+        f"| composite build, percentile_approx sketch | {t_comp_a:.2f} | "
+        f"{n_obs / t_comp_a:,.0f} obs/sec |",
         "",
         "Tile assignment and decode scale sub-linearly in time from 200k →",
         f"{n // 1000}k (fixed overheads amortize); per-cell kNN grows with",
