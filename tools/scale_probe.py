@@ -33,9 +33,9 @@ def main() -> None:
     SJ.zonal_stats(SJ.assign_images_fused(spark, warm, idx)).collect()
     IMG.decode_stats(warm).count()
 
-    def best2(fn):
+    def best2(fn, reps=3):
         b = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             fn()
             b = min(b, time.time() - t0)
@@ -63,7 +63,7 @@ def main() -> None:
         f"## Scale probe: {n:,}-image corpus (local[32])",
         "",
         "Same operators on a 5× larger contract-shaped corpus (binary",
-        "payloads), best of 2 (`python tools/scale_probe.py`):",
+        "payloads), best of 3 (`python tools/scale_probe.py`):",
         "",
         "| query | sec | throughput |",
         "|---|---|---|",
