@@ -104,7 +104,9 @@ def run_composite_workflow(spark: SparkSession, fixture_dir: str,
 
     ts = spark.read.parquet(f"{fixture_dir}/s2_timeseries.parquet")
     lc = spark.read.parquet(f"{fixture_dir}/landcover_cells.parquet")
-    comp = CP.build_composite(ts)
+    # two harmonic bands like the reference's model inputs (nir + swir1,
+    # /root/reference/src/utils/harmonics.py:79-124) — still one hash-agg
+    comp = CP.build_composite(ts, harmonic_band=["nir", "swir1"])
 
     @F.pandas_udf(LongType())
     def parent12(cell: pd.Series) -> pd.Series:
@@ -113,8 +115,10 @@ def run_composite_workflow(spark: SparkSession, fixture_dir: str,
     labeled = (comp.withColumn("p12", parent12(F.col("cell_id")))
                .join(lc.select(F.col("cell_id").alias("p12"), "LANDCOVER"), "p12")
                .drop("p12").dropna())
-    feature_cols = [c for c in labeled.columns
-                    if c.startswith("p") and "_" in c] + ["amplitude", "phase"]
+    feature_cols = ([c for c in labeled.columns
+                     if c.startswith(("p10_", "p25_", "p50_", "p75_", "p90_"))]
+                    + [c for c in labeled.columns
+                       if c.startswith(("amplitude", "phase"))])
     sampled = S.stratified_topk(labeled, "LANDCOVER", "cell_id", n_per_class)
     train, test = S.train_test_split(sampled, "cell_id", 0.8)
     train = train.cache(); test = test.cache()
