@@ -53,10 +53,19 @@ def main() -> None:
     widx = SJ.load_polygon_index_from_fixture()
     SJ.zonal_stats(SJ.assign_images_fused(spark, warm.repartition(cpus), widx)).collect()
     IMG.decode_stats(warm).count()
+    # warm the kNN path too (groupBy+applyInPandas plan, salting count
+    # side-jobs, kernel imports): its cold first run costs ~2x its warm
+    # time, which a one-shot bench would book as engine time
+    wpts = SJ.with_cell(SJ.with_footprint(warm.select("image_id", "phash")),
+                        level=10)
+    KNN.knn_per_cell(wpts, k=3).count()
+    KNN.caption_knn_per_cell(
+        SJ.with_cell(SJ.with_footprint(warm.select("image_id", "caption")),
+                     level=10), k=3).count()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
-    repeat = int(os.environ.get("KAZA_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("KAZA_BENCH_REPEAT", "3"))
 
     def bench(name, fn, reps=None):
         # reps overrides for ambient-noise-prone queries: the driver's
