@@ -74,6 +74,11 @@ def tasseled_cap(bands: list[Column]) -> dict[str, Column]:
     algebra inside whole-stage codegen (no array image, no UDF), and the
     fixed accumulation order makes it replayable in ANSI SQL bit-for-bit.
     `bands` = [blue, green, red, nir, swir1, swir2]."""
+    if len(bands) != 6:
+        raise ValueError(
+            f"tasseled_cap needs exactly 6 band columns "
+            f"[blue, green, red, nir, swir1, swir2]; got {len(bands)} "
+            "(zip truncation would silently drop coefficients)")
     out = {}
     for comp, coefs in TASSELED_CAP.items():
         acc = bands[0] * F.lit(coefs[0])

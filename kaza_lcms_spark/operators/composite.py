@@ -84,16 +84,23 @@ def harmonic_fit(df: DataFrame, group_col: str, t_col: str, y_col: str,
     Two stages: (1) a single hash-agg computing the 4×4 Gram matrix and
     4-vector of cross sums (16+4 scalars, JVM-side); (2) per-group 4×4
     `np.linalg.solve` in applyInPandas over the tiny aggregated frame.
+
+    Same validity contract as percentile_harmonic_composite: a row
+    contributes only when BOTH y and t are non-null (otherwise a null-t
+    row counts in G[0,0] but drops from every t-dependent sum —
+    inconsistent normal equations), and under-determined / singular
+    groups emit NULL coefficients instead of raising.
     """
     w = 2.0 * np.pi / period
     t = F.col(t_col)
     xs = [F.lit(1.0), t, F.cos(F.lit(w) * t), F.sin(F.lit(w) * t)]
     names = ["c", "t", "cos", "sin"]
+    valid = F.col(y_col).isNotNull() & t.isNotNull()
     aggs = []
     for i in range(4):
         for j in range(i, 4):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}{j}"))
-        aggs.append(F.sum(xs[i] * F.col(y_col)).alias(f"b_{i}"))
+            aggs.append(F.sum(F.when(valid, xs[i] * xs[j])).alias(f"g_{i}{j}"))
+        aggs.append(F.sum(F.when(valid, xs[i] * F.col(y_col))).alias(f"b_{i}"))
     g = df.groupBy(group_col).agg(*aggs)
 
     out_schema = StructType(
@@ -108,14 +115,20 @@ def harmonic_fit(df: DataFrame, group_col: str, t_col: str, y_col: str,
         B = np.zeros((m, 4))
         for i in range(4):
             for j in range(i, 4):
-                G[:, i, j] = G[:, j, i] = pdf[f"g_{i}{j}"]
-            B[:, i] = pdf[f"b_{i}"]
-        coef = np.linalg.solve(G, B)
+                G[:, i, j] = G[:, j, i] = pdf[f"g_{i}{j}"].fillna(0.0)
+            B[:, i] = pdf[f"b_{i}"].fillna(0.0)
+        coef = np.full((m, 4), np.nan)
+        ok = G[:, 0, 0] >= 4
+        ok[ok] = np.abs(np.linalg.det(G[ok])) > 1e-12
+        if ok.any():
+            coef[ok] = np.linalg.solve(G[ok], B[ok])
         out = pd.DataFrame({group_col: pdf[group_col]})
         for k, n in enumerate(names):
-            out[f"coef_{n}"] = coef[:, k]
-        out["phase"] = np.arctan2(coef[:, 2], coef[:, 3])
-        out["amplitude"] = np.hypot(coef[:, 2], coef[:, 3])
+            out[f"coef_{n}"] = pd.array(coef[:, k], dtype="Float64")
+        out["phase"] = pd.array(np.arctan2(coef[:, 2], coef[:, 3]),
+                                dtype="Float64")
+        out["amplitude"] = pd.array(np.hypot(coef[:, 2], coef[:, 3]),
+                                    dtype="Float64")
         return out
 
     return g.mapInPandas(lambda it: (solve(pdf) for pdf in it if len(pdf)), out_schema)

@@ -125,8 +125,12 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
             M = np.asarray(row.ivecs, dtype=np.float64).reshape(len(iids), -1)
             # round to the emitted precision BEFORE ranking so block-pair
             # pruning, the merge window, and the SQL oracle all rank on
-            # identical keys (BLAS vs fold differ in the last ulp)
-            sims = np.round(Q @ M.T, 4)
+            # identical keys (BLAS vs fold differ in the last ulp).
+            # HALF_UP away from zero to match Spark/DuckDB ROUND —
+            # np.round is half-to-even and disagrees at representable
+            # midpoints (np.round(0.03125, 4) = 0.0312, ROUND = 0.0313)
+            raw = Q @ M.T
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
             sims[qids[:, None] == iids[None, :]] = -np.inf   # exclude self
             kk = min(k, sims.shape[1])
             for r in range(len(qids)):
@@ -353,7 +357,11 @@ def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
     tokens are packed into numpy's fixed-width byte matrix (S dtype pads
     with NULs for free) and the fold iterates ≤ max-token-length times
     over full columns — no per-token Python loop anywhere (same hashes
-    as the scalar fold, tested)."""
+    as the per-token scalar fold, tested). One contract caveat from the
+    NUL padding: a token with TRAILING NUL characters hashes as if they
+    were stripped (indistinguishable from padding) — whitespace-split
+    natural-language captions cannot contain NUL, so this only matters
+    for adversarial binary input."""
     from ..kernels import rand as RND
 
     @F.pandas_udf(LongType())
@@ -371,12 +379,14 @@ def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
             enc = np.char.encode(uq, "utf-8")
             blens = np.char.str_len(enc)
             width = enc.dtype.itemsize
+            # keep the matrix uint8 (1 byte/byte resident); widen only
+            # the active column slice inside the fold
             M = np.frombuffer(enc.tobytes(), np.uint8) \
-                  .reshape(len(uq), width).astype(np.uint64)
+                  .reshape(len(uq), width)
             prime = np.uint64(0x100000001B3)
             for j in range(width):
                 act = blens > j
-                h[act] = (h[act] ^ M[act, j]) * prime
+                h[act] = (h[act] ^ M[act, j].astype(np.uint64)) * prime
         codes = RND.mix64(h[inv])
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         bits = ((codes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])

@@ -171,3 +171,19 @@ def test_cosine_ivf_codebook_unbiased_on_id_ordered_corpus(spark):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
     assert recall >= 0.85, f"recall {recall:.3f} on id-clustered corpus"
+
+
+def test_cosine_blocked_halfup_midpoint_rounding(spark):
+    """cos values landing exactly on representable 4-decimal midpoints
+    (dyadic rationals like 0.03125) must round HALF_UP as Spark/DuckDB
+    ROUND do — numpy's half-to-even would rank 0.03125 (-> 0.0312) below
+    0.03126953125 (-> 0.0313) and flip the rank-k neighbor."""
+    rows = [(0, [1.0, 0.0]), (1, [0.03125, 1.0]), (2, [0.03126953125, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rel = {(r["vec_id"], r["neighbor_id"], r["cos"]) for r in
+           KNN.cosine_topk_relational(emb, k=1).collect()}
+    blk = {(r["vec_id"], r["neighbor_id"], r["cos"]) for r in
+           KNN.cosine_topk_blocked(spark, emb, k=1, block_rows=2).collect()}
+    assert rel == blk
+    # both candidates round to 0.0313; tie breaks to the lower id
+    assert (0, 1, 0.0313) in rel
