@@ -100,3 +100,22 @@ def stream_tile_counts(spark: SparkSession, stream_images: DataFrame,
     streaming aggregation (complete/update mode)."""
     assigned = SJ.assign_images_fused(spark, stream_images, index)
     return assigned.groupBy("unit_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def stream_exact_dedup(stream: DataFrame, key_cols: tuple[str, ...] = ("text",),
+                       ts_col: str = "ts",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each key within
+    the watermark horizon (dropDuplicatesWithinWatermark) — the streaming
+    form of the batch exact-dedup hash-groupBy (operators/dedup.py).
+
+    Scale shape: state holds one entry per distinct key seen inside the
+    horizon and is EVICTED as the watermark advances — bounded state on
+    an unbounded ingest feed, where re-running batch dedup would rescan
+    the full history every time. Duplicates that span micro-batch
+    boundaries are caught by the state store (tested == batch distinct).
+    """
+    return (stream
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

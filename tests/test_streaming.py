@@ -98,3 +98,39 @@ def test_windowed_event_stats(spark):
     assert len(got) > 0
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Duplicate texts are split across two micro-batches (odd/even
+    doc_id files): the state store must drop the second arrival across
+    the batch boundary, leaving exactly the batch-distinct text set."""
+    from kaza_lcms_spark.streaming.windows import stream_exact_dedup
+
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    # inject duplicates whose +1001 id FLIPS parity, so each duplicate
+    # text lands in the other micro-batch file than its original
+    dups = (base.where(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1001))
+    docs = (base.unionByName(dups)
+            .withColumn("ts", F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")))
+    src = str(tmp_path / "doc_stream")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src + "/f=0")
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src + "/f=1")
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f=*"))
+    q = (stream_exact_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_stream").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1
+
+    got = spark.sql("select text from dedup_stream").collect()
+    texts = [r["text"] for r in got]
+    n_distinct_batch = docs.select("text").distinct().count()
+    assert len(texts) == len(set(texts)) == n_distinct_batch
+    # and duplicates genuinely existed across the two files
+    assert docs.count() > n_distinct_batch
