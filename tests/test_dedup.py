@@ -191,3 +191,18 @@ def test_duplicate_clusters_shortcut_equals_plain(spark):
     b = sorted(map(tuple,
                    DD.duplicate_clusters(pairs, shortcut=False).collect()))
     assert a == b
+
+
+def test_banded_hamming_verify_before_distinct_plan(spark):
+    """The dedup exchange must carry only verified (a, b, hamming)
+    triples: both 64-bit hash columns are dropped before the shuffle
+    (verify runs inside each band join, not after the distinct)."""
+    sig = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2654435761 % 4294967296).alias("h"))
+    plan = plan_of(DD.hamming_near_dup_banded(sig, max_dist=6, bands=8,
+                                              hash_col="h"))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex, "expected a hash-partitioned exchange for the distinct"
+    for l in ex:
+        assert "hamming" in l and "ha#" not in l and "hb#" not in l, l
