@@ -103,3 +103,46 @@ def test_snapshot_time_travel(spark, assigned, tmp_path):
     assert cur.count() == latest.count() == snaps[2]["n_rows"]
     with pytest.raises(ValueError, match="no snapshot 9"):
         cat.read_table(spark, "tiles", snapshot=9)
+
+
+def test_cell_clustered_layout_prunes_files(spark, tmp_path):
+    """Footer-level proof of the layout contract: after cell_clustered,
+    every parquet file covers a cell range disjoint (up to shared
+    boundary values) from every other file, and a single-cell probe
+    touches at most 2 of the 8 files by min/max stats alone."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    from kaza_lcms_spark.operators import spatial_join as SJ
+    from kaza_lcms_spark.sources import layout as L
+
+    from kaza_lcms_spark import datagen
+    d = datagen.ensure_fixtures(2000)
+    pts = SJ.with_cell(SJ.with_footprint(
+        spark.read.parquet(d + "/images.parquet").select("image_id")), level=8)
+    out = str(tmp_path / "clustered")
+    L.cell_clustered(pts.select("image_id", "cell_id"), n_files=8) \
+        .write.parquet(out)
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        md = papq.ParquetFile(f).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "cell_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # really multi-file
+    ranges.sort()
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2, "file cell ranges must not interleave"
+    # single-cell probe: stats alone must confine it to <=2 files
+    probe = sorted(r["cell_id"] for r in
+                   pts.select("cell_id").distinct().collect())
+    mid = probe[len(probe) // 2]
+    touched = [r for r in ranges if r[0] <= mid <= r[1]]
+    assert 1 <= len(touched) <= 2, (mid, ranges)
