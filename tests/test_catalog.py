@@ -146,3 +146,11 @@ def test_cell_clustered_layout_prunes_files(spark, tmp_path):
     mid = probe[len(probe) // 2]
     touched = [r for r in ranges if r[0] <= mid <= r[1]]
     assert 1 <= len(touched) <= 2, (mid, ranges)
+    # and the AOI-range predicate reaches the parquet scan (PushedFilters),
+    # so the footer stats above actually get consulted at read time
+    from pyspark.sql import functions as F
+    rd = (spark.read.parquet(out)
+          .where((F.col("cell_id") >= mid) & (F.col("cell_id") <= mid + 4)))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:", 1)
+    assert len(pushed) == 2 and "cell_id" in pushed[1][:200], plan
