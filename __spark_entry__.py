@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from kaza_lcms_spark import functions as KF
 from kaza_lcms_spark.plans import derived as D
 from kaza_lcms_spark.plans import oracles as O
+from kaza_lcms_spark.ml import area as AREA
 from kaza_lcms_spark.operators import (
     composite as C,
     dedup as DD,
@@ -645,6 +646,48 @@ def q_accuracy_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("d") / F.col("ct"), 4).alias("users_acc")))
 
 
+def _area_sample_and_weights(spark: SparkSession, sf_dir: str):
+    """Shared inputs of the AREA2 queries: the 'map' is the surrogate
+    classifier over ALL embeddings rows (the stratification), the
+    'testing points' are the deterministic vec_id%7==3 slice carrying
+    both the map stratum and the reference label — mirroring the
+    reference's LANDCOVER image + _testingPts FeatureCollection
+    (/root/reference/ProjectWorkflow.md:244-248)."""
+    e = _t(spark, sf_dir, "embeddings")
+    stratum = (F.col("vec_id") * F.lit(48271) % F.lit(M31) % F.lit(4)).cast("long")
+    mapped = e.select(stratum.alias("map_class"))
+    weights = AREA.stratum_weights(mapped)
+    sample = e.where(F.col("vec_id") % 7 == 3).select(
+        stratum.alias("map_class"),
+        F.col("label").cast("long").alias("ref_class"))
+    return sample, weights
+
+
+def q_stratified_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA2 Step 6 (reference /root/reference/ProjectWorkflow.md:225-256):
+    per-class unbiased area proportions with SE + 95% CI via the
+    Olofsson stratified estimator (ml/area.py)."""
+    sample, weights = _area_sample_and_weights(spark, sf_dir)
+    est = AREA.stratified_area_estimate(sample, weights)
+    return est.select("class",
+                      F.round("p_hat", 6).alias("p_hat"),
+                      F.round("se", 6).alias("se"),
+                      F.round("ci_lo", 6).alias("ci_lo"),
+                      F.round("ci_hi", 6).alias("ci_hi"))
+
+
+def q_stratified_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA2 Step 6 accuracy half: stratified user's/producer's/overall
+    accuracy with user's-accuracy SE (ml/area.py)."""
+    sample, weights = _area_sample_and_weights(spark, sf_dir)
+    acc = AREA.stratified_accuracy(sample, weights)
+    return acc.select("class",
+                      F.round("users_acc", 6).alias("users_acc"),
+                      F.round("users_se", 6).alias("users_se"),
+                      F.round("producers_acc", 6).alias("producers_acc"),
+                      F.round("overall_acc", 6).alias("overall_acc"))
+
+
 # ========================================================== text / dedup ====
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,7 +886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_match_join": q_first_match_join,
         "union_tagged": q_union_tagged,
         "argmax_user_type": q_argmax_user_type,
-        "pivot_counts": q_pivot_counts,
+        # pivot_counts displaced below position 50 (still parity-gated):
+        # its A7 histogram semantics are redundantly covered by
+        # confusion_matrix; the freed in-window slot gates the AREA2
+        # stratified area estimator (r3 verdict item #1).
+        "stratified_area": q_stratified_area,
         "confusion_matrix": q_confusion_matrix,
         "accuracy_per_class": q_accuracy_per_class,
         "exact_dedup": q_exact_dedup,
@@ -859,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "cosine_near_dup": q_cosine_near_dup,
         "hamming_near_dup": q_hamming_near_dup,
+        "pivot_counts": q_pivot_counts,
+        "stratified_accuracy": q_stratified_accuracy,
         "jaccard_pairs": q_jaccard_pairs,
         "ngram3_jaccard": q_ngram3_jaccard,
         "text_quality": q_text_quality,
@@ -1393,6 +1442,68 @@ def oracle_sql() -> dict[str, str]:
                    (vec_id * 48271) % {M31} % 4 AS pred_label,
                    COUNT(*) AS n
             FROM embeddings GROUP BY 1, 2
+        """,
+        "stratified_area": f"""
+            WITH mapped AS (
+                SELECT (vec_id * 48271) % {M31} % 4 AS h FROM embeddings),
+            w AS (
+                SELECT h, CAST(COUNT(*) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM mapped) AS w
+                FROM mapped GROUP BY 1),
+            s AS (
+                SELECT (vec_id * 48271) % {M31} % 4 AS h,
+                       CAST(label AS BIGINT) AS k
+                FROM embeddings WHERE vec_id % 7 = 3),
+            cm AS (SELECT h, k, COUNT(*) AS n_hk FROM s GROUP BY 1, 2),
+            nh AS (SELECT h, SUM(n_hk) AS n_h FROM cm GROUP BY 1),
+            j AS (
+                SELECT cm.k, w.w,
+                       CAST(cm.n_hk AS DOUBLE) / nh.n_h AS q, nh.n_h
+                FROM cm JOIN nh USING (h) JOIN w USING (h)),
+            est AS (
+                SELECT k AS class, SUM(w * q) AS p_hat,
+                       SQRT(SUM(CASE WHEN n_h > 1
+                                THEN w * w * q * (1 - q) / (n_h - 1)
+                                ELSE 0.0 END)) AS se
+                FROM j GROUP BY 1)
+            SELECT class, ROUND(p_hat, 6) AS p_hat, ROUND(se, 6) AS se,
+                   ROUND(GREATEST(p_hat - 1.96 * se, 0.0), 6) AS ci_lo,
+                   ROUND(LEAST(p_hat + 1.96 * se, 1.0), 6) AS ci_hi
+            FROM est
+        """,
+        "stratified_accuracy": f"""
+            WITH mapped AS (
+                SELECT (vec_id * 48271) % {M31} % 4 AS h FROM embeddings),
+            w AS (
+                SELECT h, CAST(COUNT(*) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM mapped) AS w
+                FROM mapped GROUP BY 1),
+            s AS (
+                SELECT (vec_id * 48271) % {M31} % 4 AS h,
+                       CAST(label AS BIGINT) AS k
+                FROM embeddings WHERE vec_id % 7 = 3),
+            cm AS (SELECT h, k, COUNT(*) AS n_hk FROM s GROUP BY 1, 2),
+            nh AS (SELECT h, SUM(n_hk) AS n_h FROM cm GROUP BY 1),
+            j AS (
+                SELECT cm.h, cm.k, w.w,
+                       CAST(cm.n_hk AS DOUBLE) / nh.n_h AS q, nh.n_h
+                FROM cm JOIN nh USING (h) JOIN w USING (h)),
+            diag AS (
+                SELECT h AS class, q AS users_acc,
+                       CASE WHEN n_h > 1
+                            THEN SQRT(q * (1 - q) / (n_h - 1))
+                            ELSE 0.0 END AS users_se,
+                       w * q AS oa_term, w AS w_own
+                FROM j WHERE h = k),
+            p AS (SELECT k AS class, SUM(w * q) AS p_hat FROM j GROUP BY 1),
+            oa AS (SELECT SUM(oa_term) AS overall_acc FROM diag)
+            SELECT p.class, ROUND(diag.users_acc, 6) AS users_acc,
+                   ROUND(diag.users_se, 6) AS users_se,
+                   ROUND(CASE WHEN p.p_hat > 0
+                         THEN diag.w_own * diag.users_acc / p.p_hat
+                         END, 6) AS producers_acc,
+                   ROUND(oa.overall_acc, 6) AS overall_acc
+            FROM p LEFT JOIN diag USING (class) CROSS JOIN oa
         """,
         "accuracy_per_class": f"""
             WITH cm AS (

@@ -1,0 +1,138 @@
+"""Stratified area estimation with standard errors — the AREA2 step.
+
+Re-grounds the reference workflow's final deliverable: Step 6 of
+``/root/reference/ProjectWorkflow.md:225-256`` applies the AREA2
+"Stratified Estimation" tool to the final LANDCOVER image (the
+stratification) and the held-out testing points
+(``/root/reference/src/02train_test.py`` split), printing per-class
+unbiased area proportions with confidence intervals plus the
+stratified accuracy metrics. The estimator is the public
+Olofsson / Stehman design-based stratified estimator (Olofsson et al.
+2013 "Making better use of accuracy data...", RSE 129; Olofsson et al.
+2014 "Good practices...", RSE 148 — both cited by the AREA2 docs):
+
+* stratum weights ``W_h = N_h / N`` — map-pixel share of stratum ``h``
+* cell proportions ``q_hk = n_hk / n_h`` from the sample confusion
+  matrix (``n_hk`` = sample points mapped ``h``, reference-labelled ``k``)
+* area proportion of class ``k``:  ``p̂_k = Σ_h W_h · q_hk``
+* its standard error:  ``SE(p̂_k) = sqrt(Σ_h W_h² · q_hk(1−q_hk)/(n_h−1))``
+* user's accuracy of stratum ``h``: ``Û_h = q_hh``,
+  ``SE(Û_h) = sqrt(q_hh(1−q_hh)/(n_h−1))``
+* producer's accuracy of class ``k``: ``P̂_k = W_k·q_kk / p̂_k``
+* overall accuracy: ``Ô = Σ_h W_h · q_hh``
+
+Everything is plain SQL over two tiny aggregates (the sample confusion
+matrix and the stratum pixel totals), so at 100 TB the only full-data
+pass is the ``groupBy(map_class).count()`` computing ``N_h`` — one
+partial-combined hash-agg; the sample-side math is a broadcast-sized
+join. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Z95 = 1.96  # two-sided 95% normal quantile, as printed by the AREA2 console
+
+
+def stratum_weights(mapped: DataFrame, map_col: str = "map_class") -> DataFrame:
+    """``(map_class, w)`` with ``w = N_h / N`` from the full map table.
+
+    The one full-data pass of the estimator — a single partial-combined
+    hash-agg; the window total is computed over the already-aggregated
+    (≤ n_classes rows) frame, not the raw data.
+    """
+    counts = mapped.groupBy(map_col).agg(F.count(F.lit(1)).alias("n_pix"))
+    total = counts.agg(F.sum("n_pix").alias("t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(map_col, (F.col("n_pix") / F.col("t")).alias("w")))
+
+
+def _joined_cells(sample: DataFrame, weights: DataFrame,
+                  map_col: str, ref_col: str) -> DataFrame:
+    """Sample confusion cells joined with stratum sizes and weights:
+    ``(map_col, ref_col, n_hk, n_h, w)``."""
+    cm = sample.groupBy(map_col, ref_col).agg(F.count(F.lit(1)).alias("n_hk"))
+    nh = cm.groupBy(map_col).agg(F.sum("n_hk").alias("n_h"))
+    return (cm.join(nh, map_col)
+            .join(F.broadcast(weights.select(map_col, "w")), map_col))
+
+
+def stratified_area_estimate(sample: DataFrame, weights: DataFrame,
+                             map_col: str = "map_class",
+                             ref_col: str = "ref_class",
+                             z: float = Z95,
+                             total_area: float | None = None) -> DataFrame:
+    """Per-reference-class unbiased area proportion + SE + z·SE interval.
+
+    ``sample``  — testing points carrying the map stratum (``map_col``)
+    and the reference label (``ref_col``); ``weights`` — output of
+    :func:`stratum_weights` (or any ``(map_col, w)`` frame, Σw = 1).
+
+    Strata with a single sample point contribute 0 to the variance (the
+    ``n_h − 1`` denominator is undefined; standard AREA2 behaviour is to
+    require n_h ≥ 2 — we degrade gracefully instead of dividing by zero).
+
+    Returns ``(class, p_hat, se, ci_lo, ci_hi[, area, area_se])`` —
+    ``area`` columns only when ``total_area`` is given (the AREA2 console
+    multiplies proportions by the map's total pixel area).
+    """
+    j = _joined_cells(sample, weights, map_col, ref_col)
+    q = F.col("n_hk") / F.col("n_h")
+    var_term = F.when(
+        F.col("n_h") > 1,
+        F.col("w") * F.col("w") * q * (F.lit(1.0) - q) / (F.col("n_h") - 1),
+    ).otherwise(F.lit(0.0))
+    out = (j.select(F.col(ref_col).alias("class"),
+                    (F.col("w") * q).alias("term"), var_term.alias("vterm"))
+           .groupBy("class")
+           .agg(F.sum("term").alias("p_hat"),
+                F.sqrt(F.sum("vterm")).alias("se")))
+    out = out.select(
+        "class", "p_hat", "se",
+        F.greatest(F.col("p_hat") - z * F.col("se"), F.lit(0.0)).alias("ci_lo"),
+        F.least(F.col("p_hat") + z * F.col("se"), F.lit(1.0)).alias("ci_hi"))
+    if total_area is not None:
+        out = out.select("*",
+                         (F.col("p_hat") * total_area).alias("area"),
+                         (F.col("se") * total_area).alias("area_se"))
+    return out
+
+
+def stratified_accuracy(sample: DataFrame, weights: DataFrame,
+                        map_col: str = "map_class",
+                        ref_col: str = "ref_class") -> DataFrame:
+    """Stratified-estimation accuracies (the AREA2 console's other half):
+    per class — user's accuracy ``Û_h`` with its SE, producer's accuracy
+    ``P̂_k``, and the overall accuracy ``Ô`` repeated on every row (the
+    shape a metrics CSV export wants; reference saves these to the
+    metrics subfolder per ProjectWorkflow.md:258).
+
+    Classes that appear only as reference labels (never mapped) get NULL
+    user's accuracy; classes never observed in the reference get NULL
+    producer's accuracy.
+    """
+    j = _joined_cells(sample, weights, map_col, ref_col)
+    q = F.col("n_hk") / F.col("n_h")
+    # per-stratum diagonal: user's acc + overall-accuracy terms
+    diag = (j.where(F.col(map_col) == F.col(ref_col))
+            .select(F.col(map_col).alias("class"),
+                    q.alias("users_acc"),
+                    F.when(F.col("n_h") > 1,
+                           F.sqrt(q * (F.lit(1.0) - q) / (F.col("n_h") - 1)))
+                    .otherwise(F.lit(0.0)).alias("users_se"),
+                    (F.col("w") * q).alias("oa_term"),
+                    F.col("w").alias("w_own")))
+    # p̂_k per reference class (denominator of producer's accuracy)
+    p_hat = (j.select(F.col(ref_col).alias("class"),
+                      (F.col("w") * q).alias("term"))
+             .groupBy("class").agg(F.sum("term").alias("p_hat")))
+    oa = diag.agg(F.sum("oa_term").alias("overall_acc"))
+    return (p_hat.join(diag, "class", "left")
+            .crossJoin(F.broadcast(oa))
+            .select("class", "users_acc", "users_se",
+                    F.when(F.col("p_hat") > 0,
+                           F.col("w_own") * F.col("users_acc") / F.col("p_hat"))
+                    .alias("producers_acc"),
+                    "overall_acc"))

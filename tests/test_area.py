@@ -1,0 +1,130 @@
+"""AREA2 stratified area estimation (ml/area.py) vs closed-form numbers.
+
+The gated query (stratified_area, __spark_entry__.py) covers DuckDB
+parity; these tests pin the estimator itself against hand-computed and
+independently-implemented (numpy) Olofsson et al. values.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kaza_lcms_spark.ml import area as A
+
+
+def _sample_df(spark, rows):
+    return spark.createDataFrame(rows, "map_class long, ref_class long")
+
+
+def _weights_df(spark, w):
+    return spark.createDataFrame(list(w.items()), "map_class long, w double")
+
+
+@pytest.fixture(scope="module")
+def hand_case(spark):
+    # stratum 0 (W=0.75): 8 pts — 6 ref 0, 2 ref 1
+    # stratum 1 (W=0.25): 4 pts — 1 ref 0, 3 ref 1
+    rows = [(0, 0)] * 6 + [(0, 1)] * 2 + [(1, 0)] * 1 + [(1, 1)] * 3
+    return _sample_df(spark, rows), _weights_df(spark, {0: 0.75, 1: 0.25})
+
+
+def test_area_estimate_hand_computed(hand_case):
+    sample, weights = hand_case
+    out = {r["class"]: r for r in
+           A.stratified_area_estimate(sample, weights).collect()}
+    # p̂_0 = 0.75·6/8 + 0.25·1/4 ; p̂_1 = 0.75·2/8 + 0.25·3/4
+    assert out[0]["p_hat"] == pytest.approx(0.625, abs=1e-12)
+    assert out[1]["p_hat"] == pytest.approx(0.375, abs=1e-12)
+    se0 = math.sqrt(0.75**2 * (0.75 * 0.25) / 7 + 0.25**2 * (0.25 * 0.75) / 3)
+    assert out[0]["se"] == pytest.approx(se0, abs=1e-12)
+    assert out[0]["ci_lo"] == pytest.approx(0.625 - 1.96 * se0, abs=1e-12)
+    assert out[0]["ci_hi"] == pytest.approx(0.625 + 1.96 * se0, abs=1e-12)
+
+
+def test_accuracy_hand_computed(hand_case):
+    sample, weights = hand_case
+    out = {r["class"]: r for r in
+           A.stratified_accuracy(sample, weights).collect()}
+    assert out[0]["users_acc"] == pytest.approx(6 / 8, abs=1e-12)
+    assert out[0]["users_se"] == pytest.approx(
+        math.sqrt(0.75 * 0.25 / 7), abs=1e-12)
+    # P̂_0 = W_0·q_00 / p̂_0 = 0.5625 / 0.625
+    assert out[0]["producers_acc"] == pytest.approx(0.9, abs=1e-12)
+    assert out[1]["producers_acc"] == pytest.approx(0.1875 / 0.375, abs=1e-12)
+    # Ô = Σ W_h q_hh = 0.75·0.75 + 0.25·0.75
+    assert out[0]["overall_acc"] == pytest.approx(0.75, abs=1e-12)
+    assert out[1]["overall_acc"] == pytest.approx(0.75, abs=1e-12)
+
+
+def _numpy_olofsson(n_hk, w):
+    """Independent dense-matrix implementation of the same estimator
+    (Olofsson et al. 2013 eqns 2-5): rows = map strata, cols = ref class."""
+    n_hk = np.asarray(n_hk, dtype=float)
+    w = np.asarray(w, dtype=float)
+    n_h = n_hk.sum(axis=1, keepdims=True)
+    q = n_hk / n_h
+    p_hat = (w[:, None] * q).sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = np.where(n_h > 1, (w[:, None] ** 2) * q * (1 - q) / (n_h - 1), 0.0)
+    return p_hat, np.sqrt(v.sum(axis=0))
+
+
+def test_area_estimate_vs_numpy_random_matrix(spark):
+    rng = np.random.default_rng(90210)
+    k = 5
+    n_hk = rng.integers(0, 40, size=(k, k)) + np.eye(k, dtype=int) * 30
+    pix = rng.integers(1000, 100000, size=k)
+    w = pix / pix.sum()
+    rows = [(h, r) for h in range(k) for r in range(k)
+            for _ in range(int(n_hk[h, r]))]
+    out = A.stratified_area_estimate(
+        _sample_df(spark, rows),
+        _weights_df(spark, {h: float(w[h]) for h in range(k)}))
+    got = {r["class"]: r for r in out.collect()}
+    p_hat, se = _numpy_olofsson(n_hk, w)
+    for c in range(k):
+        assert got[c]["p_hat"] == pytest.approx(p_hat[c], rel=1e-12)
+        assert got[c]["se"] == pytest.approx(se[c], rel=1e-12)
+    # design-based invariant: estimated proportions partition the map
+    assert sum(r["p_hat"] for r in got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_singleton_stratum_contributes_zero_variance(spark):
+    # stratum 1 has a single sample point: n_h−1 = 0 must not divide
+    rows = [(0, 0)] * 4 + [(0, 1)] * 4 + [(1, 1)]
+    out = {r["class"]: r for r in A.stratified_area_estimate(
+        _sample_df(spark, rows), _weights_df(spark, {0: 0.9, 1: 0.1})).collect()}
+    se1 = math.sqrt(0.9**2 * 0.25 / 7)          # only stratum 0 contributes
+    assert out[1]["se"] == pytest.approx(se1, abs=1e-12)
+    assert not math.isnan(out[1]["se"])
+
+
+def test_pure_strata_zero_se_and_total_area(spark):
+    rows = [(0, 0)] * 5 + [(1, 1)] * 5
+    out = A.stratified_area_estimate(
+        _sample_df(spark, rows), _weights_df(spark, {0: 0.6, 1: 0.4}),
+        total_area=2500.0)
+    got = {r["class"]: r for r in out.collect()}
+    assert got[0]["se"] == 0.0 and got[1]["se"] == 0.0
+    assert got[0]["area"] == pytest.approx(1500.0)
+    assert got[1]["area"] == pytest.approx(1000.0)
+    assert got[0]["area_se"] == 0.0
+
+
+def test_stratum_weights_from_map(spark):
+    mapped = spark.range(1000).select(
+        (F.col("id") % 4).cast("long").alias("map_class"))
+    w = {r["map_class"]: r["w"] for r in A.stratum_weights(mapped).collect()}
+    assert w == {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+
+
+def test_unmapped_reference_class_gets_null_users_acc(spark):
+    # class 2 appears only as a reference label, never as a map stratum
+    rows = [(0, 0)] * 3 + [(0, 2)] + [(1, 1)] * 4
+    out = {r["class"]: r for r in A.stratified_accuracy(
+        _sample_df(spark, rows), _weights_df(spark, {0: 0.5, 1: 0.5})).collect()}
+    assert out[2]["users_acc"] is None
+    assert out[2]["producers_acc"] is None
+    assert out[0]["producers_acc"] is not None
