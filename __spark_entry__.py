@@ -938,6 +938,10 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ",".join(f"'{s}'" for s in T.EN_STOPWORDS)
     mh = DD.MINHASH_PARAMS
     dot64 = O.dot_product_sql("a.embedding", "b.embedding", 64)
+    # shared binary rounding expression — NOT native ROUND: Spark
+    # F.round (repr-based) and DuckDB ROUND (binary std::round)
+    # disagree at shortest-repr midpoints (see functions.round4_binary)
+    r4dot = O.round4_sql(dot64)
     simhash16 = O.simhash_agg_sql("h", 16)
     # TC select list generated from the engine's coefficient table so both
     # sides share the exact float literals and accumulation order.
@@ -1614,22 +1618,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": f"""
             SELECT vec_id, neighbor_id, cos FROM (
                 SELECT a.vec_id, b.vec_id AS neighbor_id,
-                       ROUND({dot64}, 4) AS cos,
+                       {r4dot} AS cos,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                           ORDER BY ROUND({dot64}, 4) DESC, b.vec_id ASC) AS rn
+                           ORDER BY {r4dot} DESC, b.vec_id ASC) AS rn
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rn <= 5
         """,
         "cosine_near_dup": f"""
-            SELECT a.vec_id AS a, b.vec_id AS b, ROUND({dot64}, 4) AS cos
+            SELECT a.vec_id AS a, b.vec_id AS b, {r4dot} AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE ROUND({dot64}, 4) >= 0.35
+            WHERE {r4dot} >= 0.35
         """,
         "cosine_topk_blocked": f"""
             SELECT vec_id, neighbor_id FROM (
                 SELECT a.vec_id, b.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                           ORDER BY ROUND({dot64}, 4) DESC, b.vec_id ASC) AS rn
+                           ORDER BY {r4dot} DESC, b.vec_id ASC) AS rn
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rn <= 5
         """,

@@ -202,7 +202,7 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.35,
 
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    cos = F.round(KF.dot_fold(F.col("va"), F.col("vb")), 4)
+    cos = KF.round4_binary(KF.dot_fold(F.col("va"), F.col("vb")))
     return (a.crossJoin(b).where(F.col("a") < F.col("b"))
             .select("a", "b", cos.alias("cos"))
             .where(F.col("cos") >= F.lit(threshold)))
@@ -224,7 +224,7 @@ def cosine_near_dup_bucketed(spark, emb: DataFrame, threshold: float = 0.35,
 
     pairs = KNN.ivf_candidate_pairs(spark, emb, n_centroids, nprobe,
                                     id_col, vec_col, sample_rows)
-    cos = F.round(KF.dot_fold(F.col("va"), F.col("vb")), 4)
+    cos = KF.round4_binary(KF.dot_fold(F.col("va"), F.col("vb")))
     return (pairs.select("a", "b", cos.alias("cos"))
             .where(F.col("cos") >= F.lit(threshold)))
 

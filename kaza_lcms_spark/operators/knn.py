@@ -34,6 +34,16 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StructField,
 
 from .. import functions as KF
 
+def _round4(a: np.ndarray) -> np.ndarray:
+    """4-decimal half-away-from-zero rounding of the binary double —
+    numpy twin of functions.round4_binary (Spark column) and
+    plans/oracles.round4_sql (DuckDB). All three compute the identical
+    IEEE multiply/add/floor sequence, so every engine in the cosine
+    family ranks and emits bit-identical values (closes the r3 advice
+    rank-flip gap; native F.round/ROUND disagree at repr midpoints —
+    see functions.round4_binary)."""
+    return np.sign(a) * np.floor(np.abs(a) * 1e4 + 0.5) / 1e4
+
 
 def cosine_topk_relational(emb: DataFrame, k: int = 5,
                            id_col: str = "vec_id",
@@ -48,7 +58,7 @@ def cosine_topk_relational(emb: DataFrame, k: int = 5,
     # boundary cannot flip on sub-ulp accumulation differences between
     # the fold, BLAS (cosine_topk_blocked) and the SQL oracle
     pairs = (a.crossJoin(b).where(F.col("qid") != F.col("nid"))
-             .select("qid", "nid", F.round(dot, 4).alias("cos")))
+             .select("qid", "nid", KF.round4_binary(dot).alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (pairs.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
@@ -125,12 +135,10 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
             M = np.asarray(row.ivecs, dtype=np.float64).reshape(len(iids), -1)
             # round to the emitted precision BEFORE ranking so block-pair
             # pruning, the merge window, and the SQL oracle all rank on
-            # identical keys (BLAS vs fold differ in the last ulp).
-            # HALF_UP away from zero to match Spark/DuckDB ROUND —
-            # np.round is half-to-even and disagrees at representable
-            # midpoints (np.round(0.03125, 4) = 0.0312, ROUND = 0.0313)
-            raw = Q @ M.T
-            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+            # identical keys (BLAS vs fold differ in the last ulp);
+            # _round4 is the same IEEE expression Spark and the DuckDB
+            # oracle evaluate — bit-identical (r3 advice item #1)
+            sims = _round4(Q @ M.T)
             sims[qids[:, None] == iids[None, :]] = -np.inf   # exclude self
             kk = min(k, sims.shape[1])
             for r in range(len(qids)):
@@ -354,14 +362,16 @@ def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
     (BASELINE.json::north_star) reuses the Hamming-kNN machinery.
 
     The FNV fold is vectorized over byte POSITIONS, not tokens: unique
-    tokens are packed into numpy's fixed-width byte matrix (S dtype pads
-    with NULs for free) and the fold iterates ≤ max-token-length times
-    over full columns — no per-token Python loop anywhere (same hashes
-    as the per-token scalar fold, tested). One contract caveat from the
-    NUL padding: a token with TRAILING NUL characters hashes as if they
-    were stripped (indistinguishable from padding) — whitespace-split
-    natural-language captions cannot contain NUL, so this only matters
-    for adversarial binary input."""
+    tokens are packed into numpy's fixed-width byte matrix (padded with
+    NULs) and the fold iterates ≤ max-token-length times over full
+    columns — no per-token Python loop anywhere (same hashes as the
+    per-token scalar fold, tested). Tokens with genuine TRAILING NUL
+    bytes hash distinctly from their stripped twins (r3 advice item #3):
+    uniques are factorized at the object level (numpy U/S dtypes would
+    silently strip trailing NULs) and the fold is driven by TRUE byte
+    lengths, so a real trailing NUL folds a 0 byte — which the padding
+    region of the matrix supplies bit-exactly — while a padded token
+    stops short."""
     from ..kernels import rand as RND
 
     @F.pandas_udf(LongType())
@@ -371,18 +381,28 @@ def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
         flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
             if len(toks) else np.array([], dtype=object)
         # token -> uint64: FNV-1a over utf-8 bytes (Python hash() is
-        # session-salted). Each unique token is hashed once.
-        uq, inv = np.unique(flat.astype("U"), return_inverse=True) \
-            if len(flat) else (np.array([], dtype="U1"), np.array([], dtype=np.int64))
+        # session-salted). Each unique token is hashed once. Encode
+        # FIRST, then factorize the bytes (hash-based, C): pandas'
+        # str hashtable and numpy's U/S dtypes both treat NUL as a
+        # terminator/padding and would merge "ab\0" into "ab" before
+        # hashing — bytes objects compare exactly.
+        if len(flat):
+            inv, uq = pd.factorize(
+                pd.Series(flat).str.encode("utf-8").to_numpy())
+        else:
+            inv, uq = np.array([], dtype=np.int64), np.array([], dtype=object)
         h = np.full(len(uq), 0xCBF29CE484222325, dtype=np.uint64)
         if len(uq):
-            enc = np.char.encode(uq, "utf-8")
-            blens = np.char.str_len(enc)
-            width = enc.dtype.itemsize
+            blens = pd.Series(uq).str.len().to_numpy(dtype=np.int64)  # TRUE byte lengths
+            width = max(int(blens.max()), 1)
             # keep the matrix uint8 (1 byte/byte resident); widen only
-            # the active column slice inside the fold
-            M = np.frombuffer(enc.tobytes(), np.uint8) \
-                  .reshape(len(uq), width)
+            # the active column slice inside the fold. S-dtype padding
+            # writes 0 bytes — exactly the byte value a genuine trailing
+            # NUL must fold, so true-length-driven folds stay correct
+            # even though the buffer can't distinguish NUL from padding.
+            M = np.frombuffer(
+                np.asarray(uq, dtype=f"S{width}").tobytes(),
+                np.uint8).reshape(len(uq), width)
             prime = np.uint64(0x100000001B3)
             for j in range(width):
                 act = blens > j

@@ -117,6 +117,16 @@ def dot_product_sql(a: str, b: str, dim: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def round4_sql(x: str) -> str:
+    """4-decimal half-away-from-zero rounding of the BINARY double —
+    textual twin of functions.round4_binary (Spark) and knn._round4
+    (numpy): SIGN·FLOOR(|x|·1e4 + 0.5)/1e4. Native ROUND must NOT be
+    used for cosine parity: DuckDB rounds the scaled binary while Spark
+    F.round rounds the shortest decimal repr, and the two disagree at
+    repr midpoints (0.00015 → 0.0001 vs 0.0002)."""
+    return (f"(SIGN({x}) * FLOOR(ABS({x}) * 10000.0 + 0.5) / 10000.0)")
+
+
 def sanity_check_quads() -> None:
     """Assert generated quads are convex+CCW and the CASE semantics match
     the numpy kernel on a probe grid (used by tests)."""

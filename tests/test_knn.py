@@ -173,6 +173,73 @@ def test_cosine_ivf_codebook_unbiased_on_id_ordered_corpus(spark):
     assert recall >= 0.85, f"recall {recall:.3f} on id-clustered corpus"
 
 
+def test_caption_simhash_matches_scalar_fold_and_nul_tokens(spark):
+    """Vectorized SimHash == a scalar per-token FNV-1a reference on
+    normal captions, AND tokens with genuine trailing NUL bytes hash
+    distinctly from their stripped twins (r3 advice item #3 — numpy
+    U/S dtypes would silently merge them before hashing)."""
+    from kaza_lcms_spark.kernels import rand as RND
+
+    def scalar_simhash(caption):
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in caption.split(" "):
+            h = np.uint64(0xCBF29CE484222325)
+            for byte in tok.encode("utf-8"):
+                h = np.uint64((int(h) ^ byte) * 0x100000001B3 & (2**64 - 1))
+            code = int(RND.mix64(np.array([h], dtype=np.uint64))[0])
+            for b in range(64):
+                votes[b] += 1 if (code >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        return np.int64(np.uint64(sig)).item()
+
+    caps = ["the quick brown fox", "a b a b c", "solo", "ab ab\x00 cd",
+            "\x00leading and trailing\x00"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(caps)],
+                               "image_id long, caption string")
+    got = {r["image_id"]: r["cap_hash"] for r in
+           KNN.with_caption_simhash(df).collect()}
+    for i, c in enumerate(caps):
+        assert got[i] == scalar_simhash(c), f"caption {c!r}"
+    # the NUL-twin captions must not collide
+    twin = {r["image_id"]: r["cap_hash"] for r in KNN.with_caption_simhash(
+        spark.createDataFrame([(0, "ab ab cd"), (1, "ab ab\x00 cd")],
+                              "image_id long, caption string")).collect()}
+    assert twin[0] != twin[1]
+
+
+def test_round4_three_way_engine_agreement(spark):
+    """The cosine family ranks/emits on one shared IEEE expression
+    (sign·floor(|x|·1e4+0.5)/1e4) because the NATIVE round functions
+    disagree: Spark F.round is BigDecimal/repr-based (0.00015 → 0.0002)
+    while DuckDB ROUND is binary (0.00015 → 0.0001). Assert numpy
+    kernel, Spark column, and DuckDB SQL agree bit-for-bit on repr
+    midpoints, dyadic midpoints, and a random sweep — and that the two
+    native functions really do disagree on at least one probe value
+    (guarding the premise that forced the shared expression)."""
+    import duckdb
+
+    from kaza_lcms_spark import functions as KF
+    from kaza_lcms_spark.plans import oracles as O
+
+    rng = np.random.default_rng(90210)
+    vals = [0.00015, -0.00015, 0.00145, 0.88345, 0.03125, -0.03125,
+            0.0312650001, 0.49995, 0.50005, 0.99995, 1.0, -1.0, 0.0]
+    vals += [float(x) for x in rng.uniform(-1, 1, 200)]
+    np_out = KNN._round4(np.array(vals)).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sp = [r[0] for r in df.select(KF.round4_binary(F.col("x"))).collect()]
+    con = duckdb.connect()
+    dk = [con.execute(f"SELECT {O.round4_sql('CAST(? AS DOUBLE)')}",
+                      [v, v]).fetchone()[0] for v in vals]  # x appears twice
+    assert np_out == sp == dk
+    spark_native = [r[0] for r in df.select(F.round("x", 4)).collect()]
+    assert spark_native != np_out, \
+        "native F.round now agrees — shared expression may be droppable"
+
+
 def test_cosine_blocked_halfup_midpoint_rounding(spark):
     """cos values landing exactly on representable 4-decimal midpoints
     (dyadic rationals like 0.03125) must round HALF_UP as Spark/DuckDB
