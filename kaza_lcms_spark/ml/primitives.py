@@ -21,7 +21,9 @@ Re-grounds the reference's modeling stage (sig-gis/kaza-lcms):
   (/root/reference/src/misc/05accuracy.py:89-133).
 
 Scale notes: each class's fit is an independent Spark job over the same
-training table (cache it once); inference is a narrow map (model broadcast
+training table (cache it once), submitted concurrently from a driver
+thread pool under per-class FAIR-scheduler pools so the cluster never
+idles between fit barriers; inference is a narrow map (model broadcast
 by MLlib transform). The assemblage pivot groups by cell — one shuffle,
 partial-combined. Nothing here is per-row Python.
 """
@@ -88,21 +90,51 @@ def primitives_to_collection(train: DataFrame, cells: DataFrame,
                              classes: list[int] | None = None,
                              label_col: str = "LANDCOVER",
                              key_col: str = "cell_id",
-                             n_trees: int = RF_TREES) -> DataFrame:
+                             n_trees: int = RF_TREES,
+                             concurrency: int = 8) -> DataFrame:
     """One binary RF per class; union of per-class probability tables
     (cell_id, class, prob) — the reference's primitives ImageCollection
-    (src/utils/primitives.py:100-151). Fits run sequentially on the driver
-    (independent Spark jobs); the train table should be cached upstream."""
+    (src/utils/primitives.py:100-151).
+
+    The per-class fits are independent Spark jobs over the same cached
+    training table, so they are submitted from a driver thread pool
+    (``concurrency`` wide, one FAIR-scheduler pool per class): a lone RF
+    fit on a small training table can't saturate a large cluster, and a
+    sequential loop idles it between the 8 fit barriers (r3 verdict
+    item #2). Output is byte-identical to the sequential loop — each
+    class keeps its own seed/estimator and the union order is the
+    ``classes`` list order, not completion order. ``concurrency=1``
+    restores strictly sequential submission."""
     if classes is None:
         classes = [r[0] for r in
                    train.select(label_col).distinct().orderBy(label_col).collect()]
-    out = None
-    for c in classes:
-        model, used = fit_rf_prim(format_pts(train, c, label_col), feature_cols,
-                                  n_trees=n_trees)
-        probs = predict_prob(model, cells, used).select(
-            key_col, F.lit(int(c)).alias("class"), F.col("Probability").alias("prob"))
-        out = probs if out is None else out.unionByName(probs)
+
+    sc = train.sparkSession.sparkContext
+
+    def fit_one(c):
+        # scope a scheduler pool to this thread: with FAIR mode on, each
+        # class's jobs share the cluster instead of queueing FIFO; with
+        # the default FIFO mode this is a harmless no-op label
+        sc.setLocalProperty("spark.scheduler.pool", f"rf-prim-{c}")
+        try:
+            model, used = fit_rf_prim(format_pts(train, c, label_col),
+                                      feature_cols, n_trees=n_trees)
+            return predict_prob(model, cells, used).select(
+                key_col, F.lit(int(c)).alias("class"),
+                F.col("Probability").alias("prob"))
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    if concurrency <= 1 or len(classes) <= 1:
+        probs = [fit_one(c) for c in classes]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(concurrency, len(classes))) as ex:
+            probs = list(ex.map(fit_one, classes))
+
+    out = probs[0]
+    for p in probs[1:]:
+        out = out.unionByName(p)
     return out
 
 

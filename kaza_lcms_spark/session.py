@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR scheduling so concurrent driver-thread job submissions
+        # (per-class RF fits, ml/primitives.py) share executor slots
+        # instead of queueing FIFO behind each other; pools are created
+        # on demand per thread via spark.scheduler.pool
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

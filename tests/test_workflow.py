@@ -125,3 +125,31 @@ def test_stratified_topk_scalable_equals_exact(spark, fixture_dir):
     a2 = sorted(r["cell_id"] for r in S.stratified_topk(lc, "LANDCOVER", "cell_id", 400).collect())
     b2 = sorted(r["cell_id"] for r in S.stratified_topk_scalable(lc, "LANDCOVER", "cell_id", 400).collect())
     assert a2 == b2
+
+
+def test_concurrent_rf_fits_identical_to_sequential(spark):
+    """primitives_to_collection submits per-class fits from a driver
+    thread pool (r3 verdict item #2); the output must be byte-identical
+    to the sequential loop — same per-class seeds/estimators, union in
+    classes-list order, never completion order."""
+    import numpy as np
+
+    rng = np.random.default_rng(51515)
+    n, classes = 240, [1, 2, 3, 4]
+    feats = rng.normal(0, 1, (n, 5))
+    labels = np.repeat(classes, n // len(classes))
+    feats[:, 0] += labels * 0.8          # separable-ish signal
+    rows = [(int(i), *[float(x) for x in feats[i]], int(labels[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "cell_id long, f0 double, f1 double, f2 double, f3 double, "
+              "f4 double, LANDCOVER long").cache()
+    fcols = ["f0", "f1", "f2", "f3", "f4"]
+    seq = P.primitives_to_collection(df, df, fcols, classes=classes,
+                                     n_trees=10, concurrency=1)
+    par = P.primitives_to_collection(df, df, fcols, classes=classes,
+                                     n_trees=10, concurrency=4)
+    a = sorted((r["cell_id"], r["class"], r["prob"]) for r in seq.collect())
+    b = sorted((r["cell_id"], r["class"], r["prob"]) for r in par.collect())
+    assert a == b
+    assert {c for _, c, _ in a} == set(classes)
