@@ -162,13 +162,21 @@ class Catalog:
     def write_partitioned(self, spark: SparkSession, df: DataFrame, name: str,
                           partition_col: str,
                           partitions_per_commit: int = 4,
-                          fail_after: int | None = None) -> dict:
+                          fail_after: int | None = None,
+                          layout=None) -> dict:
         """Resumable partitioned write with per-partition lineage.
 
         Plans the pending set (requested − committed), processes it in
         commit groups, and snapshots after each group — a crash loses at
         most one uncommitted group; a re-run skips everything committed.
         ``fail_after`` injects a crash after N commits (tests).
+
+        ``layout`` (optional ``DataFrame -> DataFrame``) rearranges each
+        partition's rows before its write — pass
+        ``sources.layout.cell_clustered`` to get Morton-clustered files
+        whose footer min/max stats prune AOI-bounded reads (the
+        Iceberg-style sort-order half of the table spec; see
+        tools/layout_probe.py for the measured effect).
 
         Scale note: the per-group filter is partition-pruned by Catalyst
         (IN-list on the partition column); on a real cluster each group
@@ -188,6 +196,8 @@ class Catalog:
                 t0 = time.time()
                 out = os.path.join(ddir, f"{partition_col}={p}", uuid.uuid4().hex)
                 part_df = df.where(F.col(partition_col).cast("string") == p)
+                if layout is not None:
+                    part_df = layout(part_df)
                 part_df.write.mode("overwrite").parquet(out)
                 files = [os.path.join(out, f) for f in os.listdir(out)
                          if f.endswith(".parquet")]
