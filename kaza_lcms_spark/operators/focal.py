@@ -171,8 +171,10 @@ def open_grow_tiled(cells: DataFrame, mask_col: str,
         out[mask_col] = opened[gx[home], gy[home]].astype(np.int32)
         return out[out_cols]
 
+    from ..plans.salting import pin_kernel_partitions
     rep = cells.mapInPandas(replicate, rep_schema)
-    return (rep.groupBy(*gcols, "tx", "ty")
+    return (pin_kernel_partitions(rep, *gcols, "tx", "ty")
+            .groupBy(*gcols, "tx", "ty")
             .applyInPandas(kernel, cells.schema))
 
 
@@ -346,6 +348,8 @@ def focal_mean_tiled(cells: DataFrame, value_col: str, radius: int,
             f"focal_mean_{value_col}": sv[hxx, hyy] / np.maximum(n, 1.0),
         })
 
+    from ..plans.salting import pin_kernel_partitions
     rep = cells.select(ix_col, iy_col, F.col(value_col).alias("_v")) \
                .mapInPandas(replicate, rep_schema)
-    return rep.groupBy("tx", "ty").applyInPandas(kernel, out_schema)
+    return (pin_kernel_partitions(rep, "tx", "ty")
+            .groupBy("tx", "ty").applyInPandas(kernel, out_schema))

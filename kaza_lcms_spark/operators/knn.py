@@ -151,8 +151,11 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
             return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []})
         return pd.concat(outs)
 
-    # one group per block pair bounds task memory to exactly two blocks
-    cands = pairs.groupBy("qbid", "ibid").applyInPandas(per_pair, out_schema)
+    # one group per block pair bounds task memory to exactly two blocks;
+    # pin the task count or AQE coalesces the BLAS groups by byte size
+    from ..plans.salting import pin_kernel_partitions
+    cands = (pin_kernel_partitions(pairs, "qbid", "ibid")
+             .groupBy("qbid", "ibid").applyInPandas(per_pair, out_schema))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
                                              F.col("neighbor_id").asc())
     return (cands.withColumn("_rn", F.row_number().over(w))
@@ -290,7 +293,9 @@ def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
             "cos": np.round(np.take_along_axis(sims, take, axis=1).ravel(), 6),
         })
 
-    cands = tagged.groupBy("bucket").applyInPandas(per_bucket, cand_schema)
+    from ..plans.salting import pin_kernel_partitions
+    cands = (pin_kernel_partitions(tagged, "bucket")
+             .groupBy("bucket").applyInPandas(per_bucket, cand_schema))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (cands.where(~F.col("cos").eqNullSafe(float("-inf")))
             .withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
@@ -467,12 +472,14 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
 
     hot = SALT.hot_cells(points, salt_threshold, cell_col)
     hot_df, cold_df = SALT.split_hot_cold(points, hot, cell_col)
-    cold_out = cold_df.groupBy(cell_col).applyInPandas(per_cell, out_schema)
-    if not hot:
-        return cold_out
-
     if spark is None:
         spark = points.sparkSession
+    # pin the kernel stage's task count (AQE coalescing can't see the
+    # O(n²) per-cell cost — see plans.salting.pin_kernel_partitions)
+    cold_out = (SALT.pin_kernel_partitions(cold_df, cell_col)
+                .groupBy(cell_col).applyInPandas(per_cell, out_schema))
+    if not hot:
+        return cold_out
     # broadcast hot-cell item sets (probe columns only, id-sorted).
     # Guard: the broadcast is bounded by |hot cells|·threshold-ish rows;
     # if a pathological plan would collect too much, fail loudly with the
@@ -496,8 +503,10 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
                      np.array([hh for _, hh in items], dtype=np.int64))
     b_items = spark.sparkContext.broadcast(packed)
 
-    salted = SALT.with_salt(hot_df, id_col, salt_buckets) \
-                 .repartition(F.col(cell_col), F.col("salt"))
+    # explicit-N again: a column-only repartition is AQE-coalescible and
+    # would fold the salted probes back into one task (see cold path)
+    salted = SALT.pin_kernel_partitions(
+        SALT.with_salt(hot_df, id_col, salt_buckets), cell_col, "salt")
 
     def probe_hot(batches):
         items = b_items.value

@@ -151,7 +151,9 @@ def random_points_in_polygons(polys_df: DataFrame, n_per_poly: int,
         return pd.concat(rows) if rows else pd.DataFrame(
             {"unit_id": [], "pt_seq": [], "lon": [], "lat": []})
 
-    return polys_df.groupBy(id_col).applyInPandas(lambda k, pdf: gen(pdf), out_schema)
+    from ..plans.salting import pin_kernel_partitions
+    return (pin_kernel_partitions(polys_df, id_col)
+            .groupBy(id_col).applyInPandas(lambda k, pdf: gen(pdf), out_schema))
 
 
 def proportional_allocation(polys_df: DataFrame, total_points: int,

@@ -527,4 +527,6 @@ def thin_points(points_df: DataFrame, radius_deg: float,
         keep_home = kept & (pdf["home"].to_numpy() == cell)
         return pdf.loc[keep_home, ["pid"]]
 
-    return rep.groupBy("cell").applyInPandas(greedy, out_schema)
+    from ..plans.salting import pin_kernel_partitions
+    return (pin_kernel_partitions(rep, "cell")
+            .groupBy("cell").applyInPandas(greedy, out_schema))

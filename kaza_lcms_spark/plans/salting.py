@@ -57,3 +57,20 @@ def split_hot_cold(df: DataFrame, hot: list[int],
     hot_df = df.where(F.col(cell_col).isin(hot))
     cold_df = df.where(~F.col(cell_col).isin(hot))
     return hot_df, cold_df
+
+
+def pin_kernel_partitions(df: DataFrame, *cols) -> DataFrame:
+    """Explicit-N repartition on the kernel's grouping columns —
+    REPARTITION_BY_NUM, which AQE must preserve.
+
+    Every Python-kernel stage (groupBy/applyInPandas, salted mapInPandas)
+    must hash-distribute through this, never a bare ``repartition(cols)``
+    or the groupBy's own exchange: AQE's partition coalescing sizes
+    partitions by SHUFFLED BYTES and cannot see per-row kernel cost, so a
+    few MB of (id, hash) rows feeding an O(n²) kernel get folded into 1-2
+    tasks (measured: 30k-row hot-cell kNN serialized onto one core, 10×
+    wall-clock). The downstream groupBy reuses the pinned
+    HashPartitioning, so this adds no extra shuffle."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n_part, *[F.col(c) if isinstance(c, str) else c
+                                    for c in cols])
