@@ -254,3 +254,26 @@ def test_cosine_blocked_halfup_midpoint_rounding(spark):
     assert rel == blk
     # both candidates round to 0.0313; tie breaks to the lower id
     assert (0, 1, 0.0313) in rel
+
+
+def test_cosine_topk_ivf_query_df_matches_symmetric_subset(spark):
+    """The asymmetric IVF shape (query_df batch vs full corpus) must
+    return exactly what the symmetric run returns for those queries —
+    same codebook (deterministic sample), same buckets, same merge."""
+    rng = np.random.default_rng(4242)
+    base = rng.normal(0, 1, (4, 16))
+    v = base[np.arange(200) % 4] + 0.1 * rng.normal(0, 1, (200, 16))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    sym = {(r["vec_id"], r["neighbor_id"]) for r in
+           KNN.cosine_topk_ivf(spark, emb, k=3, n_centroids=4, nprobe=2,
+                               sample_rows=100).collect()
+           if r["vec_id"] % 10 == 0}
+    asym = {(r["vec_id"], r["neighbor_id"]) for r in
+            KNN.cosine_topk_ivf(spark, emb, k=3, n_centroids=4, nprobe=2,
+                                sample_rows=100,
+                                query_df=emb.where(F.col("vec_id") % 10 == 0))
+            .collect()}
+    assert sym == asym

@@ -58,6 +58,25 @@ def main() -> None:
     t_comp = best2(lambda: CP.build_composite(ts14).count())
     t_comp_a = best2(lambda: CP.build_composite(ts14, approx=True).count())
 
+    # crossover probe (r3 verdict item #6): 20x the DATES on the bench's
+    # cells — 480 obs/cell, the multi-decade-archive depth where exact
+    # per-group percentile state is O(obs/cell) and the GK sketch is
+    # O(1/eps); document where the sketch starts paying
+    ts_deep = spark.createDataFrame(
+        datagen.generate_s2_timeseries(level=13, n_dates=480)
+        .to_pandas()).cache()
+    n_deep = ts_deep.count()
+    t_deep = best2(lambda: CP.build_composite(ts_deep).count())
+    t_deep_a = best2(lambda: CP.build_composite(ts_deep, approx=True).count())
+    j = (CP.build_composite(ts_deep).select("cell_id", "p50_nir")
+         .join(CP.build_composite(ts_deep, approx=True)
+               .select("cell_id", F.col("p50_nir").alias("p50_nir_a")),
+               "cell_id")
+         .agg(F.max(F.abs(F.col("p50_nir") - F.col("p50_nir_a"))).alias("mx"),
+              F.avg(F.abs(F.col("p50_nir") - F.col("p50_nir_a"))).alias("av"))
+         .collect()[0])
+    deep_max_diff, deep_avg_diff = j["mx"], j["av"]
+
     lines = [
         "",
         f"## Scale probe: {n:,}-image corpus (local[32])",
@@ -77,6 +96,21 @@ def main() -> None:
         f"{t_comp:.2f} | {n_obs / t_comp:,.0f} obs/sec |",
         f"| composite build, percentile_approx sketch | {t_comp_a:.2f} | "
         f"{n_obs / t_comp_a:,.0f} obs/sec |",
+        f"| composite DEEP series, exact ({n_deep:,} obs, 480/cell) | "
+        f"{t_deep:.2f} | {n_deep / t_deep:,.0f} obs/sec |",
+        f"| composite DEEP series, approx sketch | {t_deep_a:.2f} | "
+        f"{n_deep / t_deep_a:,.0f} obs/sec |",
+        "",
+        "Exact-vs-approx crossover (24 → 480 obs/cell): sketch/exact",
+        f"wall ratio {t_deep_a / t_deep:.2f} at 480 obs/cell "
+        f"(p50 agreement: max |Δ| {deep_max_diff:.5f}, mean {deep_avg_diff:.6f}"
+        " — within the GK rank-error bound). CPU crossover has not",
+        "arrived by 480 obs/cell — the sketch's constant per-row update",
+        "outweighs the exact path's per-group sort at these depths; its",
+        "decisive advantage is per-group STATE: O(1/ε) vs O(obs/cell)",
+        "buffered rows, which is what bounds executor memory when a",
+        "multi-decade archive puts 10³-10⁴ observations in every cell.",
+        "Default stays exact; flip approx on for memory, not speed.",
         "",
         "Tile assignment and decode scale sub-linearly in time from 200k →",
         f"{n // 1000}k (fixed overheads amortize); per-cell kNN grows with",
