@@ -72,10 +72,12 @@ def train_test_from_polygons(spark: SparkSession, ref_polys: DataFrame,
 def build_landcover(spark: SparkSession, train: DataFrame, lc_cells: DataFrame,
                     classes: list[int] | None = None) -> DataFrame:
     """03RFprimitives + 04generate_LC: per-class probability primitives →
-    argmax assemblage → (cell_id, LANDCOVER, max_prob)."""
+    argmax assemblage → (cell_id, LANDCOVER, max_prob). Wide single-pass
+    inference (chained broadcast-model transforms + array argmax — zero
+    shuffles; identical output to the tall union+window path, tested)."""
     train = train.cache()
-    prims = P.primitives_to_collection(train, lc_cells, BAND_COLS, classes)
-    return P.assemble_max_prob(prims)
+    wide, cls = P.primitives_wide(train, lc_cells, BAND_COLS, classes)
+    return P.assemble_max_prob_wide(wide, cls)
 
 
 def score_accuracy(predicted: DataFrame, test: DataFrame) -> tuple[DataFrame, float]:
@@ -123,9 +125,9 @@ def run_composite_workflow(spark: SparkSession, fixture_dir: str,
     train, test = S.train_test_split(sampled, "cell_id", 0.8)
     train = train.cache(); test = test.cache()
 
-    prims = P.primitives_to_collection(train, labeled, feature_cols,
-                                       n_trees=n_trees)
-    landcover = P.assemble_max_prob(prims)
+    wide, cls = P.primitives_wide(train, labeled, feature_cols,
+                                  n_trees=n_trees)
+    landcover = P.assemble_max_prob_wide(wide, cls)
     accs, overall = score_accuracy(landcover, test)
     return {
         "n_features": len(feature_cols), "n_train": train.count(),

@@ -153,3 +153,33 @@ def test_concurrent_rf_fits_identical_to_sequential(spark):
     b = sorted((r["cell_id"], r["class"], r["prob"]) for r in par.collect())
     assert a == b
     assert {c for _, c, _ in a} == set(classes)
+
+
+def test_wide_assemblage_identical_to_tall(spark):
+    """primitives_wide + assemble_max_prob_wide (zero-shuffle inference)
+    must reproduce the tall union + window assemblage exactly, ties
+    included, and its plan must carry no Exchange over the cell table."""
+    import numpy as np
+
+    rng = np.random.default_rng(90210)
+    n, classes = 200, [1, 2, 3, 4]
+    feats = rng.normal(0, 1, (n, 4))
+    labels = np.repeat(classes, n // len(classes))
+    feats[:, 0] += labels * 0.7
+    rows = [(int(i), *[float(x) for x in feats[i]], int(labels[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "cell_id long, f0 double, f1 double, f2 double, f3 double, "
+              "LANDCOVER long").cache()
+    fcols = ["f0", "f1", "f2", "f3"]
+    tall = P.assemble_max_prob(
+        P.primitives_to_collection(df, df, fcols, classes=classes, n_trees=8))
+    wide_df, cls = P.primitives_wide(df, df, fcols, classes=classes, n_trees=8)
+    wide = P.assemble_max_prob_wide(wide_df, cls)
+    a = sorted((r["cell_id"], r["LANDCOVER"], r["max_prob"])
+               for r in tall.collect())
+    b = sorted((r["cell_id"], r["LANDCOVER"], r["max_prob"])
+               for r in wide.collect())
+    assert a == b
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
