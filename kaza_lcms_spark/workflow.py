@@ -90,6 +90,30 @@ def score_accuracy(predicted: DataFrame, test: DataFrame) -> tuple[DataFrame, fl
     return P.class_accuracies(cm), P.overall_accuracy(cm)
 
 
+def score_area(predicted: DataFrame, test: DataFrame,
+               total_area: float | None = None) -> tuple[DataFrame, DataFrame]:
+    """Step 6, AREA2 'Stratified Estimation'
+    (/root/reference/ProjectWorkflow.md:225-256): the final LANDCOVER map
+    is the stratification, the held-out testing points are the sample.
+    Returns (area_estimates, accuracies) — per-class unbiased area
+    proportions with SE + 95% CI, and the stratified user's/producer's/
+    overall accuracies the AREA2 console prints (ml/area.py, Olofsson
+    estimator). One full-map hash-agg for the stratum weights; the rest
+    is broadcast-sized sample math."""
+    from .ml import area as A
+
+    weights = A.stratum_weights(
+        predicted.select(F.col("LANDCOVER").alias("map_class")))
+    sample = (test.select("cell_id",
+                          F.col("LANDCOVER").alias("ref_class"))
+              .join(predicted.select("cell_id",
+                                     F.col("LANDCOVER").alias("map_class")),
+                    "cell_id"))
+    est = A.stratified_area_estimate(sample, weights, total_area=total_area)
+    acc = A.stratified_accuracy(sample, weights)
+    return est, acc
+
+
 def run_composite_workflow(spark: SparkSession, fixture_dir: str,
                            n_per_class: int = 150, n_trees: int = 100) -> dict:
     """The chained 01→03→04→05 workflow over ENGINE outputs: build the

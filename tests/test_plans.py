@@ -111,3 +111,25 @@ def test_bucketed_join_is_shuffle_free(spark, fixture_dir, tmp_path):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(cell_id" not in plan, plan
     spark.sql("DROP TABLE bt_cells"); spark.sql("DROP TABLE bt_bands")
+
+
+def test_python_kernel_stages_pin_partition_counts(spark, fixture_dir):
+    """Every compute-heavy Python-kernel stage must hash-distribute via
+    an explicit-N repartition (REPARTITION_BY_NUM): AQE's coalescing
+    sizes partitions by shuffled bytes and cannot see per-row kernel
+    cost, so without the pin a few MB feeding an O(n²) kernel collapse
+    to 1-2 tasks (measured 10× on a 30k-row hot cell)."""
+    from kaza_lcms_spark.operators import knn as KNN
+
+    imgs = spark.read.parquet(fixture_dir + "/images.parquet") \
+        .select("image_id", "phash")
+    pts = SJ.with_cell(SJ.with_footprint(imgs), level=8)
+    knn_plan = plan_of(KNN.knn_per_cell(pts, k=3))
+    assert "REPARTITION_BY_NUM" in knn_plan, knn_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    blk_plan = plan_of(KNN.cosine_topk_blocked(spark, emb, k=3))
+    assert "REPARTITION_BY_NUM" in blk_plan, blk_plan
+    ivf_plan = plan_of(KNN.cosine_topk_ivf(spark, emb, k=3, n_centroids=4,
+                                           nprobe=2))
+    assert "REPARTITION_BY_NUM" in ivf_plan, ivf_plan

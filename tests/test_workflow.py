@@ -183,3 +183,21 @@ def test_wide_assemblage_identical_to_tall(spark):
     assert a == b
     plan = wide._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_score_area_closes_step6(spark, fixture_dir, lc):
+    """Step 6 end-to-end: LANDCOVER map + held-out test points → per-class
+    area proportions with SE/CI plus stratified accuracies. Proportions
+    must partition the map (Σp̂ = 1) and every class mapped at scale must
+    carry a finite CI."""
+    refp = spark.read.parquet(f"{fixture_dir}/ref_polygons.parquet")
+    train, test = W.train_test_from_polygons(spark, refp, lc, 40)
+    predicted = W.build_landcover(spark, train, lc)
+    est, acc = W.score_area(predicted, test, total_area=100_000.0)
+    rows = est.collect()
+    assert abs(sum(r["p_hat"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+        assert r["area"] == pytest.approx(r["p_hat"] * 100_000.0)
+    oa = acc.select("overall_acc").first()["overall_acc"]
+    assert 0.0 < oa <= 1.0
