@@ -1492,22 +1492,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cm.h, cm.k, w.w,
                        CAST(cm.n_hk AS DOUBLE) / nh.n_h AS q, nh.n_h
                 FROM cm JOIN nh USING (h) JOIN w USING (h)),
+            strata AS (
+                SELECT h AS class, MIN(n_h) AS n_h, MIN(w) AS w_own
+                FROM j GROUP BY 1),
+            dcell AS (SELECT h AS class, n_hk FROM cm WHERE h = k),
             diag AS (
-                SELECT h AS class, q AS users_acc,
-                       CASE WHEN n_h > 1
-                            THEN SQRT(q * (1 - q) / (n_h - 1))
+                -- seed from the stratum list: an all-wrong stratum reads
+                -- users_acc 0.0 (observed), never NULL
+                SELECT s.class,
+                       COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE) AS users_acc,
+                       CASE WHEN s.n_h > 1
+                            THEN SQRT((COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE))
+                                 * (1 - COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE))
+                                 / (s.n_h - 1))
                             ELSE 0.0 END AS users_se,
-                       w * q AS oa_term, w AS w_own
-                FROM j WHERE h = k),
+                       s.w_own * (COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE)) AS oa_term,
+                       s.w_own
+                FROM strata s LEFT JOIN dcell d USING (class)),
             p AS (SELECT k AS class, SUM(w * q) AS p_hat FROM j GROUP BY 1),
             oa AS (SELECT SUM(oa_term) AS overall_acc FROM diag)
-            SELECT p.class, ROUND(diag.users_acc, 6) AS users_acc,
+            SELECT class, ROUND(diag.users_acc, 6) AS users_acc,
                    ROUND(diag.users_se, 6) AS users_se,
                    ROUND(CASE WHEN p.p_hat > 0
                          THEN diag.w_own * diag.users_acc / p.p_hat
                          END, 6) AS producers_acc,
                    ROUND(oa.overall_acc, 6) AS overall_acc
-            FROM p LEFT JOIN diag USING (class) CROSS JOIN oa
+            FROM p FULL JOIN diag USING (class) CROSS JOIN oa
         """,
         "accuracy_per_class": f"""
             WITH cm AS (

@@ -110,26 +110,37 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
     metrics subfolder per ProjectWorkflow.md:258).
 
     Classes that appear only as reference labels (never mapped) get NULL
-    user's accuracy; classes never observed in the reference get NULL
-    producer's accuracy.
+    user's accuracy; a mapped stratum whose sample is entirely
+    misclassified gets user's accuracy 0 (observed, not missing).
+    Classes never observed in the reference get NULL producer's
+    accuracy.
     """
     j = _joined_cells(sample, weights, map_col, ref_col)
     q = F.col("n_hk") / F.col("n_h")
-    # per-stratum diagonal: user's acc + overall-accuracy terms
-    diag = (j.where(F.col(map_col) == F.col(ref_col))
-            .select(F.col(map_col).alias("class"),
-                    q.alias("users_acc"),
+    # per-stratum diagonal: user's acc + overall-accuracy terms. Seed
+    # from the stratum list (n_hh = 0 when no diagonal cell exists) so
+    # an all-wrong stratum reads 0.0, never NULL.
+    strata = (j.groupBy(F.col(map_col).alias("class"))
+              .agg(F.first("n_h").alias("n_h"), F.first("w").alias("w_own")))
+    dcell = (j.where(F.col(map_col) == F.col(ref_col))
+             .select(F.col(map_col).alias("class"), "n_hk"))
+    qd = F.coalesce(F.col("n_hk"), F.lit(0)) / F.col("n_h")
+    diag = (strata.join(dcell, "class", "left")
+            .select("class",
+                    qd.alias("users_acc"),
                     F.when(F.col("n_h") > 1,
-                           F.sqrt(q * (F.lit(1.0) - q) / (F.col("n_h") - 1)))
+                           F.sqrt(qd * (F.lit(1.0) - qd) / (F.col("n_h") - 1)))
                     .otherwise(F.lit(0.0)).alias("users_se"),
-                    (F.col("w") * q).alias("oa_term"),
-                    F.col("w").alias("w_own")))
+                    (F.col("w_own") * qd).alias("oa_term"),
+                    "w_own"))
     # p̂_k per reference class (denominator of producer's accuracy)
     p_hat = (j.select(F.col(ref_col).alias("class"),
                       (F.col("w") * q).alias("term"))
              .groupBy("class").agg(F.sum("term").alias("p_hat")))
     oa = diag.agg(F.sum("oa_term").alias("overall_acc"))
-    return (p_hat.join(diag, "class", "left")
+    # full outer: a class can be reference-only (users NULL) or map-only
+    # (an all-wrong stratum — producers NULL, users an observed 0)
+    return (p_hat.join(diag, "class", "full")
             .crossJoin(F.broadcast(oa))
             .select("class", "users_acc", "users_se",
                     F.when(F.col("p_hat") > 0,

@@ -128,3 +128,17 @@ def test_unmapped_reference_class_gets_null_users_acc(spark):
     assert out[2]["users_acc"] is None
     assert out[2]["producers_acc"] is None
     assert out[0]["producers_acc"] is not None
+
+
+def test_all_wrong_stratum_reads_zero_users_acc_not_null(spark):
+    # stratum 1 is mapped but every sample point is misclassified:
+    # user's accuracy is an OBSERVED 0.0; only never-mapped classes
+    # (class 2 here) read NULL
+    rows = [(0, 0)] * 4 + [(1, 0)] * 2 + [(1, 2)] * 2
+    out = {r["class"]: r for r in A.stratified_accuracy(
+        _sample_df(spark, rows), _weights_df(spark, {0: 0.5, 1: 0.5})).collect()}
+    assert out[1]["users_acc"] == 0.0
+    assert out[1]["users_se"] == 0.0
+    assert out[2]["users_acc"] is None
+    # OA counts only stratum 0's diagonal: 0.5·1.0 + 0.5·0.0
+    assert out[0]["overall_acc"] == pytest.approx(0.5, abs=1e-12)
