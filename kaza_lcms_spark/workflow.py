@@ -91,7 +91,8 @@ def score_accuracy(predicted: DataFrame, test: DataFrame) -> tuple[DataFrame, fl
 
 
 def score_area(predicted: DataFrame, test: DataFrame,
-               total_area: float | None = None) -> tuple[DataFrame, DataFrame]:
+               total_area: float | None = None,
+               nodata: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Step 6, AREA2 'Stratified Estimation'
     (/root/reference/ProjectWorkflow.md:225-256): the final LANDCOVER map
     is the stratification, the held-out testing points are the sample.
@@ -99,9 +100,16 @@ def score_area(predicted: DataFrame, test: DataFrame,
     proportions with SE + 95% CI, and the stratified user's/producer's/
     overall accuracies the AREA2 console prints (ml/area.py, Olofsson
     estimator). One full-map hash-agg for the stratum weights; the rest
-    is broadcast-sized sample math."""
+    is broadcast-sized sample math.
+
+    ``nodata`` mirrors the AREA2 UI's third dialog (a class value outside
+    the LANDCOVER typology): cells carrying it are excluded from the
+    stratification — their area is not estimated and they contribute no
+    stratum weight."""
     from .ml import area as A
 
+    if nodata is not None:
+        predicted = predicted.where(F.col("LANDCOVER") != nodata)
     weights = A.stratum_weights(
         predicted.select(F.col("LANDCOVER").alias("map_class")))
     sample = (test.select("cell_id",
@@ -153,10 +161,15 @@ def run_composite_workflow(spark: SparkSession, fixture_dir: str,
                                   n_trees=n_trees)
     landcover = P.assemble_max_prob_wide(wide, cls)
     accs, overall = score_accuracy(landcover, test)
+    # Step 6 (AREA2): stratified area proportions + CIs from the final
+    # map and the held-out cells — the workflow's closing deliverable
+    est, _ = score_area(landcover, test)
     return {
         "n_features": len(feature_cols), "n_train": train.count(),
         "n_test": test.count(), "n_cells": landcover.count(),
         "overall_acc": overall,
+        "area_proportions": {r["class"]: (r["p_hat"], r["se"])
+                             for r in est.collect()},
     }
 
 

@@ -109,6 +109,10 @@ def test_composite_workflow_end_to_end(spark, fixture_dir):
     assert res["n_cells"] == 4232
     assert res["n_features"] >= 40
     assert res["overall_acc"] > 0.5
+    # Step 6 deliverable: proportions partition the map, SEs finite
+    props = res["area_proportions"]
+    assert abs(sum(p for p, _ in props.values()) - 1.0) < 1e-9
+    assert all(se >= 0 for _, se in props.values())
 
 
 def test_stratified_topk_scalable_equals_exact(spark, fixture_dir):
