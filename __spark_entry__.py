@@ -669,11 +669,10 @@ def q_stratified_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     Olofsson stratified estimator (ml/area.py)."""
     sample, weights = _area_sample_and_weights(spark, sf_dir)
     est = AREA.stratified_area_estimate(sample, weights)
-    return est.select("class",
-                      F.round("p_hat", 6).alias("p_hat"),
-                      F.round("se", 6).alias("se"),
-                      F.round("ci_lo", 6).alias("ci_lo"),
-                      F.round("ci_hi", 6).alias("ci_hi"))
+    # shared binary rounding, not F.round — same repr-midpoint parity
+    # class the cosine family closed (functions.round_binary docstring)
+    r6 = lambda c: KF.round_binary(F.col(c), 6).alias(c)  # noqa: E731
+    return est.select("class", r6("p_hat"), r6("se"), r6("ci_lo"), r6("ci_hi"))
 
 
 def q_stratified_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,11 +680,9 @@ def q_stratified_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy with user's-accuracy SE (ml/area.py)."""
     sample, weights = _area_sample_and_weights(spark, sf_dir)
     acc = AREA.stratified_accuracy(sample, weights)
-    return acc.select("class",
-                      F.round("users_acc", 6).alias("users_acc"),
-                      F.round("users_se", 6).alias("users_se"),
-                      F.round("producers_acc", 6).alias("producers_acc"),
-                      F.round("overall_acc", 6).alias("overall_acc"))
+    r6 = lambda c: KF.round_binary(F.col(c), 6).alias(c)  # noqa: E731
+    return acc.select("class", r6("users_acc"), r6("users_se"),
+                      r6("producers_acc"), r6("overall_acc"))
 
 
 # ========================================================== text / dedup ====
@@ -942,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
     # F.round (repr-based) and DuckDB ROUND (binary std::round)
     # disagree at shortest-repr midpoints (see functions.round4_binary)
     r4dot = O.round4_sql(dot64)
+    r6 = lambda x: O.round_sql(x, 6)  # noqa: E731 — AREA2 parity rounding
     simhash16 = O.simhash_agg_sql("h", 16)
     # TC select list generated from the engine's coefficient table so both
     # sides share the exact float literals and accumulation order.
@@ -1470,9 +1468,9 @@ def oracle_sql() -> dict[str, str]:
                                 THEN w * w * q * (1 - q) / (n_h - 1)
                                 ELSE 0.0 END)) AS se
                 FROM j GROUP BY 1)
-            SELECT class, ROUND(p_hat, 6) AS p_hat, ROUND(se, 6) AS se,
-                   ROUND(GREATEST(p_hat - 1.96 * se, 0.0), 6) AS ci_lo,
-                   ROUND(LEAST(p_hat + 1.96 * se, 1.0), 6) AS ci_hi
+            SELECT class, {r6('p_hat')} AS p_hat, {r6('se')} AS se,
+                   {r6('GREATEST(p_hat - 1.96 * se, 0.0)')} AS ci_lo,
+                   {r6('LEAST(p_hat + 1.96 * se, 1.0)')} AS ci_hi
             FROM est
         """,
         "stratified_accuracy": f"""
@@ -1511,12 +1509,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM strata s LEFT JOIN dcell d USING (class)),
             p AS (SELECT k AS class, SUM(w * q) AS p_hat FROM j GROUP BY 1),
             oa AS (SELECT SUM(oa_term) AS overall_acc FROM diag)
-            SELECT class, ROUND(diag.users_acc, 6) AS users_acc,
-                   ROUND(diag.users_se, 6) AS users_se,
-                   ROUND(CASE WHEN p.p_hat > 0
+            SELECT class, {r6('diag.users_acc')} AS users_acc,
+                   {r6('diag.users_se')} AS users_se,
+                   {r6('''CASE WHEN p.p_hat > 0
                          THEN diag.w_own * diag.users_acc / p.p_hat
-                         END, 6) AS producers_acc,
-                   ROUND(oa.overall_acc, 6) AS overall_acc
+                         END''')} AS producers_acc,
+                   {r6('oa.overall_acc')} AS overall_acc
             FROM p FULL JOIN diag USING (class) CROSS JOIN oa
         """,
         "accuracy_per_class": f"""

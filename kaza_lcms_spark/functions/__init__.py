@@ -107,13 +107,13 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot_fold(a, a))
 
 
-def round4_binary(c: Column) -> Column:
-    """Round to 4 decimals, half away from zero on the BINARY double:
-    ``sign(x) · floor(|x|·1e4 + 0.5) / 1e4``.
+def round_binary(c: Column, digits: int = 4) -> Column:
+    """Round half away from zero on the BINARY double:
+    ``sign(x) · floor(|x|·10^d + 0.5) / 10^d``.
 
-    The cosine-similarity family ranks and emits on this expression in
-    all three engines (Spark column algebra here, the generated DuckDB
-    oracle SQL in plans/oracles.round4_sql, the numpy block kernel in
+    Oracle-gated float outputs rank and emit on this expression in all
+    three engines (Spark column algebra here, the generated DuckDB
+    oracle SQL in plans/oracles.round_sql, the numpy block kernel in
     operators/knn._round4) because the *native* round functions disagree
     at shortest-repr midpoints: Spark's F.round goes through
     BigDecimal.valueOf (decimal repr, 0.00015 → 0.0002) while DuckDB's
@@ -121,8 +121,14 @@ def round4_binary(c: Column) -> Column:
     shared expression is the same IEEE multiply/add/floor sequence
     everywhere → bit-identical by construction, closing the r3 advice's
     rank-flip gap without trusting either engine's rounding."""
-    return (F.signum(c) * F.floor(F.abs(c) * F.lit(10000.0) + F.lit(0.5))
-            / F.lit(10000.0))
+    scale = float(10 ** digits)
+    return (F.signum(c) * F.floor(F.abs(c) * F.lit(scale) + F.lit(0.5))
+            / F.lit(scale))
+
+
+def round4_binary(c: Column) -> Column:
+    """4-decimal :func:`round_binary` — the cosine family's contract."""
+    return round_binary(c, 4)
 
 
 def hsv_to_rgb(h: Column, s: Column, v: Column) -> tuple[Column, Column, Column]:

@@ -107,6 +107,10 @@ def primitives_to_collection(train: DataFrame, cells: DataFrame,
     restores strictly sequential submission."""
     models = fit_prims(train, feature_cols, classes, label_col=label_col,
                        n_trees=n_trees, concurrency=concurrency)
+    if not models:
+        raise ValueError(
+            "primitives_to_collection: no classes to fit — training table "
+            f"is empty or {label_col!r} is all NULL")
     probs = [predict_prob(model, cells, used).select(
                  key_col, F.lit(int(c)).alias("class"),
                  F.col("Probability").alias("prob"))
@@ -194,7 +198,10 @@ def assemble_max_prob_wide(wide: DataFrame, classes: list[int],
     twin of :func:`assemble_max_prob` (array_position takes the FIRST
     maximum, so ties break to the lowest class exactly like the tall
     path's (prob desc, class asc) window; reference arrayArgmax,
-    src/utils/assemblage.py:12-20)."""
+    src/utils/assemblage.py:12-20). The array is built in ascending
+    class-VALUE order regardless of the caller's list order — first-max
+    must mean lowest class, not earliest-listed class."""
+    classes = sorted(classes)
     arr = F.array(*[F.col(f"prob_{c}").cast("double") for c in classes])
     idx = F.array_position(arr, F.array_max(arr))
     cls = F.array(*[F.lit(int(c)) for c in classes])

@@ -418,7 +418,9 @@ def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
 
     @F.pandas_udf(LongType())
     def sh(caps: pd.Series) -> pd.Series:
-        toks = caps.str.split(" ")
+        # NULL caption == empty caption (str.split of NaN yields a 0-d
+        # float that would crash the concatenate below)
+        toks = caps.fillna("").str.split(" ")
         lens = toks.str.len().to_numpy()
         flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
             if len(toks) else np.array([], dtype=object)

@@ -117,14 +117,20 @@ def dot_product_sql(a: str, b: str, dim: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def round_sql(x: str, digits: int = 4) -> str:
+    """Half-away-from-zero rounding of the BINARY double — textual twin
+    of functions.round_binary (Spark) and knn._round4 (numpy):
+    SIGN·FLOOR(|x|·10^d + 0.5)/10^d. Native ROUND must NOT be used for
+    float parity: DuckDB rounds the scaled binary while Spark F.round
+    rounds the shortest decimal repr, and the two disagree at repr
+    midpoints (0.00015 → 0.0001 vs 0.0002)."""
+    scale = f"{float(10 ** digits)!r}"
+    return (f"(SIGN({x}) * FLOOR(ABS({x}) * {scale} + 0.5) / {scale})")
+
+
 def round4_sql(x: str) -> str:
-    """4-decimal half-away-from-zero rounding of the BINARY double —
-    textual twin of functions.round4_binary (Spark) and knn._round4
-    (numpy): SIGN·FLOOR(|x|·1e4 + 0.5)/1e4. Native ROUND must NOT be
-    used for cosine parity: DuckDB rounds the scaled binary while Spark
-    F.round rounds the shortest decimal repr, and the two disagree at
-    repr midpoints (0.00015 → 0.0001 vs 0.0002)."""
-    return (f"(SIGN({x}) * FLOOR(ABS({x}) * 10000.0 + 0.5) / 10000.0)")
+    """4-decimal :func:`round_sql` — the cosine family's contract."""
+    return round_sql(x, 4)
 
 
 def sanity_check_quads() -> None:

@@ -159,7 +159,9 @@ def run_composite_workflow(spark: SparkSession, fixture_dir: str,
 
     wide, cls = P.primitives_wide(train, labeled, feature_cols,
                                   n_trees=n_trees)
-    landcover = P.assemble_max_prob_wide(wide, cls)
+    # cache: accuracy, area estimation and the count below each action
+    # this frame — uncached they'd re-run the 8-model inference chain
+    landcover = P.assemble_max_prob_wide(wide, cls).cache()
     accs, overall = score_accuracy(landcover, test)
     # Step 6 (AREA2): stratified area proportions + CIs from the final
     # map and the held-out cells — the workflow's closing deliverable

@@ -277,3 +277,15 @@ def test_cosine_topk_ivf_query_df_matches_symmetric_subset(spark):
                                 query_df=emb.where(F.col("vec_id") % 10 == 0))
             .collect()}
     assert sym == asym
+
+
+def test_caption_simhash_null_caption_is_empty(spark):
+    """NULL captions must hash like empty captions, not crash the Arrow
+    batch (str.split of NaN yields a 0-d object)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a caption")],
+        "image_id long, caption string")
+    got = {r["image_id"]: r["cap_hash"] for r in
+           KNN.with_caption_simhash(df).collect()}
+    assert got[0] == got[1]
+    assert got[2] != got[0]

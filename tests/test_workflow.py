@@ -205,3 +205,22 @@ def test_score_area_closes_step6(spark, fixture_dir, lc):
         assert r["area"] == pytest.approx(r["p_hat"] * 100_000.0)
     oa = acc.select("overall_acc").first()["overall_acc"]
     assert 0.0 < oa <= 1.0
+
+
+def test_wide_assemblage_unsorted_classes_ties_to_lowest_class(spark):
+    """Tie-break must be lowest class VALUE even when the caller passes
+    an unsorted classes list (first-max means lowest class, not
+    earliest-listed)."""
+    wide = spark.createDataFrame(
+        [(1, 0.5, 0.5, 0.2), (2, 0.1, 0.9, 0.9)],
+        "cell_id long, prob_1 double, prob_3 double, prob_4 double")
+    out = {r["cell_id"]: r["LANDCOVER"] for r in
+           P.assemble_max_prob_wide(wide, [4, 3, 1]).collect()}
+    assert out[1] == 1      # prob_1 == prob_3 tie -> lowest class
+    assert out[2] == 3      # prob_3 == prob_4 tie -> lowest class
+
+
+def test_primitives_to_collection_empty_train_raises(spark):
+    df = spark.createDataFrame([], "cell_id long, f0 double, LANDCOVER long")
+    with pytest.raises(ValueError, match="no classes to fit"):
+        P.primitives_to_collection(df, df, ["f0"])

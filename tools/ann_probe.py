@@ -118,19 +118,24 @@ def main() -> None:
     rows = []
     for nprobe in NPROBES:
         # best-of-2: single-shot arms on this shared VM catch ambient
-        # load spikes that invert the monotonic nprobe→latency story
-        t = float("inf")
+        # load spikes that invert the monotonic nprobe→latency story.
+        # t0 sits BEFORE construction so the codebook sample + k-means
+        # (eager, driver-side) is inside the measured batch latency,
+        # matching the exact arm which includes all of its work.
+        t, out = float("inf"), None
         for _ in range(2):
+            t0 = time.time()
             arm = KNN.cosine_topk_ivf(
                 spark, emb, k=K, n_centroids=N_CENTROIDS, nprobe=nprobe,
-                query_df=queries)
-            t0 = time.time()
+                query_df=queries).cache()
             n_out = arm.count()
-            t = min(t, time.time() - t0)
-        out = KNN.cosine_topk_ivf(
-            spark, emb, k=K, n_centroids=N_CENTROIDS, nprobe=nprobe,
-            query_df=queries).cache()
-        out.count()
+            dt = time.time() - t0
+            if dt < t:
+                if out is not None:
+                    out.unpersist()
+                t, out = dt, arm
+            else:
+                arm.unpersist()
         got: dict = {}
         for r in out.where(F.col("vec_id") % RECALL_EVERY == 0).collect():
             got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])

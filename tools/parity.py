@@ -82,7 +82,9 @@ def main():
             continue
         if name not in oracles:
             print(f"OK-  {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
-            results[name] = {"rows_match": len(srows) >= 0, "schema_match": None,
+            # no oracle: record the row count and claim no match fields
+            # (a constant-true rows_match would read as a fake gate)
+            results[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": len(srows),
                              "oracle_rows": None, "err": None,
                              "mode": "rows-only"}
