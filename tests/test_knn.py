@@ -238,6 +238,15 @@ def test_round4_three_way_engine_agreement(spark):
     spark_native = [r[0] for r in df.select(F.round("x", 4)).collect()]
     assert spark_native != np_out, \
         "native F.round now agrees — shared expression may be droppable"
+    # the 6-digit instance guards the AREA2 queries' contract too
+    vals6 = [0.0000015, 0.1234565, 0.9999995, -0.0000015] \
+        + [float(x) for x in rng.uniform(0, 1, 50)]
+    df6 = spark.createDataFrame([(v,) for v in vals6], "x double")
+    sp6 = [r[0] for r in df6.select(KF.round_binary(F.col("x"), 6)).collect()]
+    dk6 = [con.execute(f"SELECT {O.round_sql('CAST(? AS DOUBLE)', 6)}",
+                       [v, v]).fetchone()[0] for v in vals6]
+    np6 = (np.sign(vals6) * np.floor(np.abs(vals6) * 1e6 + 0.5) / 1e6).tolist()
+    assert sp6 == dk6 == np6
 
 
 def test_cosine_blocked_halfup_midpoint_rounding(spark):
