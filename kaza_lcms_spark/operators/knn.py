@@ -191,7 +191,13 @@ def _ivf_codebook(spark: SparkSession, emb: DataFrame, n_centroids: int,
     correlates with id order (ingest time, shard, class): a lowest-id
     sample of such a corpus would train centroids on one slice of the
     distribution and crater recall for the rest (tested on an
-    id-clustered fixture)."""
+    id-clustered fixture).
+
+    Sizing: keep ``sample_rows ≥ ~40× n_centroids`` or Lloyd iterations
+    see too few points per centroid and the codebook degenerates
+    (empty/duplicate centroids → recall loss); the default 20k sample
+    supports codebooks into the low hundreds. The sample is fixed-size
+    regardless of corpus rows — driver memory is bounded at any scale."""
     sample = [r[vec_col] for r in
               emb.select(id_col, vec_col)
                  .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
@@ -531,15 +537,16 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
             f"hot-cell broadcast would carry {n_hot_rows} rows "
             f"(> {max_broadcast}); raise salt_threshold, use a finer "
             "cell level, or split hot cells hierarchically before kNN")
-    rows = hot_df.select(cell_col, id_col, hash_col).collect()
-    by_cell: dict = {}
-    for r in rows:
-        by_cell.setdefault(r[cell_col], []).append((r[id_col], r[hash_col]))
+    # Arrow transfer + numpy grouping, not collect(): at the 20M-row
+    # broadcast cap, Row objects cost ~10 GB of driver heap and a 20M-
+    # iteration Python loop; toPandas is columnar end-to-end. ids are
+    # unique, so id-sorting matches the old (id, hash)-tuple sort.
+    hot_pdf = hot_df.select(cell_col, id_col, hash_col).toPandas()
     packed = {}
-    for c, items in by_cell.items():
-        items.sort()
-        packed[c] = (np.array([i for i, _ in items]),
-                     np.array([hh for _, hh in items], dtype=np.int64))
+    for c, grp in hot_pdf.groupby(cell_col, sort=False):
+        order = np.argsort(grp[id_col].to_numpy(), kind="stable")
+        packed[c] = (grp[id_col].to_numpy()[order],
+                     grp[hash_col].to_numpy().astype(np.int64)[order])
     b_items = spark.sparkContext.broadcast(packed)
 
     # explicit-N again: a column-only repartition is AQE-coalescible and
