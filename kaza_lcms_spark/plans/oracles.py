@@ -117,6 +117,13 @@ def dot_product_sql(a: str, b: str, dim: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Rounding policy for gated float outputs: NEW queries must emit through
+# round_sql/functions.round_binary (identical IEEE expression in every
+# engine). Legacy queries still on native ROUND/F.round are value-stable
+# on the gate's deterministic sf0.01 inputs (green 4 rounds running) —
+# the repr-midpoint disagreement between Spark's BigDecimal rounding and
+# DuckDB's binary rounding only bites on values neither has produced;
+# migrate a legacy query the moment its inputs or derivation change.
 def round_sql(x: str, digits: int = 4) -> str:
     """Half-away-from-zero rounding of the BINARY double — textual twin
     of functions.round_binary (Spark) and knn._round4 (numpy):
