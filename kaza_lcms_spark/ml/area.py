@@ -49,6 +49,29 @@ def stratum_weights(mapped: DataFrame, map_col: str = "map_class") -> DataFrame:
             .select(map_col, (F.col("n_pix") / F.col("t")).alias("w")))
 
 
+def _check_stratum_coverage(sample: DataFrame, weights: DataFrame,
+                            map_col: str) -> None:
+    """Fail loudly when the sample and the stratification disagree:
+    a weighted stratum with ZERO sample points silently loses its whole
+    area share (Σp̂ < 1, every class biased low), and a sampled stratum
+    missing from the weights is silently dropped by the inner join.
+    AREA2 requires n_h ≥ 2 per stratum; we degrade the n_h == 1 variance
+    gracefully but refuse the n_h == 0 case. Two tiny aggregations."""
+    w_strata = {r[0] for r in weights.select(map_col).distinct().collect()}
+    s_strata = {r[0] for r in sample.select(map_col).distinct().collect()}
+    unsampled = sorted(w_strata - s_strata)
+    unweighted = sorted(s_strata - w_strata)
+    if unsampled or unweighted:
+        raise ValueError(
+            "stratified estimation coverage mismatch: "
+            f"strata with weight but no sample points: {unsampled}; "
+            f"sampled strata missing from weights: {unweighted}. "
+            "Add testing points for every map stratum (or rebuild the "
+            "weights from the same map the sample was drawn against); "
+            "pass check_coverage=False only to accept biased-low "
+            "proportions knowingly.")
+
+
 def _joined_cells(sample: DataFrame, weights: DataFrame,
                   map_col: str, ref_col: str) -> DataFrame:
     """Sample confusion cells joined with stratum sizes and weights:
@@ -63,7 +86,8 @@ def stratified_area_estimate(sample: DataFrame, weights: DataFrame,
                              map_col: str = "map_class",
                              ref_col: str = "ref_class",
                              z: float = Z95,
-                             total_area: float | None = None) -> DataFrame:
+                             total_area: float | None = None,
+                             check_coverage: bool = True) -> DataFrame:
     """Per-reference-class unbiased area proportion + SE + z·SE interval.
 
     ``sample``  — testing points carrying the map stratum (``map_col``)
@@ -78,6 +102,8 @@ def stratified_area_estimate(sample: DataFrame, weights: DataFrame,
     ``area`` columns only when ``total_area`` is given (the AREA2 console
     multiplies proportions by the map's total pixel area).
     """
+    if check_coverage:
+        _check_stratum_coverage(sample, weights, map_col)
     j = _joined_cells(sample, weights, map_col, ref_col)
     q = F.col("n_hk") / F.col("n_h")
     var_term = F.when(
@@ -102,7 +128,8 @@ def stratified_area_estimate(sample: DataFrame, weights: DataFrame,
 
 def stratified_accuracy(sample: DataFrame, weights: DataFrame,
                         map_col: str = "map_class",
-                        ref_col: str = "ref_class") -> DataFrame:
+                        ref_col: str = "ref_class",
+                        check_coverage: bool = True) -> DataFrame:
     """Stratified-estimation accuracies (the AREA2 console's other half):
     per class — user's accuracy ``Û_h`` with its SE, producer's accuracy
     ``P̂_k``, and the overall accuracy ``Ô`` repeated on every row (the
@@ -115,6 +142,8 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
     Classes never observed in the reference get NULL producer's
     accuracy.
     """
+    if check_coverage:
+        _check_stratum_coverage(sample, weights, map_col)
     j = _joined_cells(sample, weights, map_col, ref_col)
     q = F.col("n_hk") / F.col("n_h")
     # per-stratum diagonal: user's acc + overall-accuracy terms. Seed

@@ -162,7 +162,6 @@ def primitives_wide(train: DataFrame, cells: DataFrame,
                     feature_cols: list[str],
                     classes: list[int] | None = None,
                     label_col: str = "LANDCOVER",
-                    key_col: str = "cell_id",
                     n_trees: int = RF_TREES,
                     concurrency: int = 8) -> tuple[DataFrame, list[int]]:
     """All per-class probabilities in ONE narrow pass over the cell

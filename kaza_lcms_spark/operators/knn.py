@@ -286,7 +286,8 @@ def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
                     sample_rows: int = 20000,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    query_df: DataFrame | None = None) -> DataFrame:
+                    query_df: DataFrame | None = None,
+                    exclude_self: bool = True) -> DataFrame:
     """Approximate top-k by IVF bucketing — the 10¹²-row scale path for
     similarity search: a small centroid codebook is trained on a driver
     sample and broadcast; items partition into their nearest-centroid
@@ -298,6 +299,14 @@ def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
     ``query_df`` restricts the query side to a separate frame (items stay
     ``emb``) — the asymmetric search shape (probe a batch against the
     corpus); default None keeps every row as both item and query.
+
+    ``exclude_self`` controls the id-equality exclusion: True (default)
+    treats a query id equal to an item id as THE SAME VECTOR and never
+    returns it — correct for the symmetric case and for query batches
+    that are corpus rows. Pass False when ``query_df`` carries a FOREIGN
+    id space (fresh probe vectors numbered from 0): id collisions there
+    are unrelated vectors, and excluding them would silently drop true
+    neighbors.
 
     (A packed-block bucket shuffle — (ids[], flat vecs[]) rows per
     (batch, bucket, role) — was measured at 1M×100k/nprobe 4 and was NOT
@@ -327,7 +336,8 @@ def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
         qo = np.argsort(qid, kind="stable")
         qid, Q = qid[qo], Q[qo]
         sims = Q @ I.T
-        sims[qid[:, None] == iid[None, :]] = -np.inf
+        if exclude_self:
+            sims[qid[:, None] == iid[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
         take = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         return pd.DataFrame({

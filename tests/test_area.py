@@ -142,3 +142,19 @@ def test_all_wrong_stratum_reads_zero_users_acc_not_null(spark):
     assert out[2]["users_acc"] is None
     # OA counts only stratum 0's diagonal: 0.5·1.0 + 0.5·0.0
     assert out[0]["overall_acc"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_coverage_guard_raises_on_unsampled_stratum(spark):
+    # stratum 2 carries weight but no sample points: its whole area
+    # share would silently vanish (Σp̂ < 1) — must fail loudly
+    rows = [(0, 0)] * 3 + [(1, 1)] * 3
+    sample = _sample_df(spark, rows)
+    weights = _weights_df(spark, {0: 0.5, 1: 0.3, 2: 0.2})
+    with pytest.raises(ValueError, match="no sample points: \\[2\\]"):
+        A.stratified_area_estimate(sample, weights)
+    with pytest.raises(ValueError, match="no sample points"):
+        A.stratified_accuracy(sample, weights)
+    # explicit opt-out degrades to the (biased) partial estimate
+    got = {r["class"]: r["p_hat"] for r in A.stratified_area_estimate(
+        sample, weights, check_coverage=False).collect()}
+    assert sum(got.values()) == pytest.approx(0.8, abs=1e-12)

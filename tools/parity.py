@@ -46,9 +46,12 @@ def canon(rows, cols):
 def main():
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    if "--json" in argv:             # accept the flag in any position
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("--json requires an output path")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}

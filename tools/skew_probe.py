@@ -65,7 +65,9 @@ def main() -> None:
             t0 = time.time(); fn(); b = min(b, time.time() - t0)
         return b
 
-    t_on = best(lambda: run(True), 3)
+    # same best-of arms for both modes — an extra rep for one side would
+    # bias the published speedup (cf. bench.py's rf fairness rule)
+    t_on = best(lambda: run(True), 2)
     t_off = best(lambda: run(False), 2)
 
     def zonal():
