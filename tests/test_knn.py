@@ -298,3 +298,31 @@ def test_caption_simhash_null_caption_is_empty(spark):
            KNN.with_caption_simhash(df).collect()}
     assert got[0] == got[1]
     assert got[2] != got[0]
+
+
+def test_cosine_ivf_foreign_id_batch_keeps_colliding_ids(spark):
+    """A foreign query batch whose ids collide with corpus ids must still
+    receive those corpus vectors as neighbors under exclude_self=False —
+    the id-equality exclusion is only valid when query ids ARE corpus
+    rows."""
+    rng = np.random.default_rng(7)
+    v = rng.normal(0, 1, (60, 8))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    # foreign probe: id 3 collides with corpus id 3 but its vector is a
+    # near-copy of corpus vector 42 — its true top-1 is 42, and corpus
+    # row 3 must remain eligible as a neighbor too
+    probe_vec = (v[42] + 0.01 * rng.normal(0, 1, 8))
+    probe_vec /= np.linalg.norm(probe_vec)
+    probe = spark.createDataFrame(
+        [(3, [float(x) for x in probe_vec])], "vec_id long, embedding array<double>")
+    got = {r["neighbor_id"] for r in KNN.cosine_topk_ivf(
+        spark, corpus, k=60, n_centroids=2, nprobe=2, sample_rows=60,
+        query_df=probe, exclude_self=False).collect()}
+    assert 42 in got and 3 in got          # nothing dropped by id collision
+    excl = {r["neighbor_id"] for r in KNN.cosine_topk_ivf(
+        spark, corpus, k=60, n_centroids=2, nprobe=2, sample_rows=60,
+        query_df=probe).collect()}
+    assert 3 not in excl                   # default still self-excludes
