@@ -677,12 +677,13 @@ def q_stratified_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AREA2 Step 6 accuracy half: stratified user's/producer's/overall
-    accuracy with user's-accuracy SE (ml/area.py)."""
+    accuracy, each with its Olofsson 2014 standard error (ml/area.py)."""
     sample, weights = _area_sample_and_weights(spark, sf_dir)
     acc = AREA.stratified_accuracy(sample, weights)
     r6 = lambda c: KF.round_binary(F.col(c), 6).alias(c)  # noqa: E731
     return acc.select("class", r6("users_acc"), r6("users_se"),
-                      r6("producers_acc"), r6("overall_acc"))
+                      r6("producers_acc"), r6("producers_se"),
+                      r6("overall_acc"), r6("overall_se"))
 
 
 # ========================================================== text / dedup ====
@@ -1507,15 +1508,35 @@ def oracle_sql() -> dict[str, str]:
                        s.w_own * (COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE)) AS oa_term,
                        s.w_own
                 FROM strata s LEFT JOIN dcell d USING (class)),
-            p AS (SELECT k AS class, SUM(w * q) AS p_hat FROM j GROUP BY 1),
-            oa AS (SELECT SUM(oa_term) AS overall_acc FROM diag)
-            SELECT class, {r6('diag.users_acc')} AS users_acc,
-                   {r6('diag.users_se')} AS users_se,
-                   {r6('''CASE WHEN p.p_hat > 0
-                         THEN diag.w_own * diag.users_acc / p.p_hat
-                         END''')} AS producers_acc,
-                   {r6('oa.overall_acc')} AS overall_acc
-            FROM p FULL JOIN diag USING (class) CROSS JOIN oa
+            p AS (SELECT k AS class, SUM(w * q) AS p_hat,
+                         SUM(CASE WHEN n_h > 1
+                             THEN w * w * q * (1 - q) / (n_h - 1)
+                             ELSE 0.0 END) AS vsum
+                  FROM j GROUP BY 1),
+            oa AS (SELECT SUM(oa_term) AS overall_acc,
+                          SQRT(SUM(POWER(w_own * users_se, 2))) AS overall_se
+                   FROM diag),
+            -- Olofsson 2014 eq. 7 pieces: pacc = P̂_k; vdiag = the h = k
+            -- variance term (= (W_k·SE(Û_k))²); off-diag = vsum − vdiag
+            x AS (
+                SELECT COALESCE(p.class, diag.class) AS class,
+                       diag.users_acc, diag.users_se, p.p_hat, p.vsum,
+                       CASE WHEN p.p_hat > 0
+                            THEN diag.w_own * diag.users_acc / p.p_hat
+                            END AS pacc,
+                       POWER(diag.w_own * diag.users_se, 2) AS vdiag
+                FROM p FULL JOIN diag USING (class))
+            SELECT class, {r6('x.users_acc')} AS users_acc,
+                   {r6('x.users_se')} AS users_se,
+                   {r6('x.pacc')} AS producers_acc,
+                   {r6('''CASE WHEN x.p_hat > 0 THEN
+                         SQRT(POWER(1.0 - x.pacc, 2) * x.vdiag
+                              + POWER(x.pacc, 2)
+                                * GREATEST(x.vsum - x.vdiag, 0.0))
+                         / x.p_hat END''')} AS producers_se,
+                   {r6('oa.overall_acc')} AS overall_acc,
+                   {r6('oa.overall_se')} AS overall_se
+            FROM x CROSS JOIN oa
         """,
         "accuracy_per_class": f"""
             WITH cm AS (

@@ -31,6 +31,13 @@ def main() -> None:
     ap.add_argument("--table", default="landcover")
     ap.add_argument("--n-per-class", type=int, default=100)
     ap.add_argument("--n-trees", type=int, default=20)
+    ap.add_argument("--nodata", type=int, default=None,
+                    help="class value excluded from the AREA2 stratification "
+                         "(the AREA2 UI's no-data dialog)")
+    ap.add_argument("--no-coverage-check", action="store_true",
+                    help="accept strata without test points (biased-low "
+                         "area proportions) instead of marking the AREA2 "
+                         "block unavailable")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -88,11 +95,13 @@ def main() -> None:
     res = cat.write_partitioned(spark, landcover, args.table, "LANDCOVER")
     n = cat.read_table(spark, args.table).count()
 
-    # 05 + Step 6: accuracy + AREA2 stratified area estimation
+    # 05 + Step 6: accuracy + AREA2 stratified area estimation. A
+    # coverage mismatch (a predicted stratum with zero test points —
+    # plausible for a rarely-predicted class under a small test split)
+    # must not lose the whole summary AFTER the catalog write: mark the
+    # AREA2 block unavailable and still emit the JSON line.
     accs, overall = W.score_accuracy(landcover, test)
-    est, acc = W.score_area(landcover, test)
-
-    print(json.dumps({
+    summary = {
         "job": "landcover",
         "rows_committed": n,
         "partitions_written": res["written"],
@@ -100,15 +109,25 @@ def main() -> None:
         "n_features": len(feature_cols),
         "n_train": train.count(), "n_test": test.count(),
         "overall_acc": round(overall, 4),
-        "area_estimates": [
-            {"class": r["class"], "p_hat": round(r["p_hat"], 6),
-             "se": round(r["se"], 6), "ci_lo": round(r["ci_lo"], 6),
-             "ci_hi": round(r["ci_hi"], 6)}
-            for r in est.orderBy("class").collect()],
-        "stratified_overall_acc": round(
-            acc.select("overall_acc").first()["overall_acc"], 6),
-        "wall_s": round(time.time() - t0, 2),
-    }))
+    }
+    try:
+        est, acc = W.score_area(landcover, test, nodata=args.nodata,
+                                check_coverage=not args.no_coverage_check)
+        oa = acc.select("overall_acc", "overall_se").first()
+        summary.update({
+            "area_estimates": [
+                {"class": r["class"], "p_hat": round(r["p_hat"], 6),
+                 "se": round(r["se"], 6), "ci_lo": round(r["ci_lo"], 6),
+                 "ci_hi": round(r["ci_hi"], 6)}
+                for r in est.orderBy("class").collect()],
+            "stratified_overall_acc": round(oa["overall_acc"], 6),
+            "stratified_overall_se": round(oa["overall_se"], 6),
+        })
+    except ValueError as ex:
+        summary.update({"area_estimates": None,
+                        "area_unavailable_reason": str(ex)})
+    summary["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -18,8 +18,18 @@ Olofsson / Stehman design-based stratified estimator (Olofsson et al.
 * its standard error:  ``SE(p̂_k) = sqrt(Σ_h W_h² · q_hk(1−q_hk)/(n_h−1))``
 * user's accuracy of stratum ``h``: ``Û_h = q_hh``,
   ``SE(Û_h) = sqrt(q_hh(1−q_hh)/(n_h−1))``
-* producer's accuracy of class ``k``: ``P̂_k = W_k·q_kk / p̂_k``
-* overall accuracy: ``Ô = Σ_h W_h · q_hh``
+* producer's accuracy of class ``k``: ``P̂_k = W_k·q_kk / p̂_k``, with
+  (Olofsson et al. 2014 eq. 7, in proportion form)
+  ``V(P̂_k) = [ W_k²(1−P̂_k)²·Û_k(1−Û_k)/(n_k−1)
+  + P̂_k²·Σ_{h≠k} W_h²·q_hk(1−q_hk)/(n_h−1) ] / p̂_k²``
+* overall accuracy: ``Ô = Σ_h W_h · q_hh``, with (eq. 5)
+  ``V(Ô) = Σ_h W_h²·q_hh(1−q_hh)/(n_h−1)``
+
+Two algebraic identities keep the SQL small: the ``h = k`` diagonal term
+of the ``p̂_k`` variance sum equals ``(W_k·SE(Û_k))²``, and the overall
+variance is ``Σ_h (W_h·SE(Û_h))²`` — so producer's and overall SEs need
+only the per-class variance sum already computed for the area estimate
+plus the user's-accuracy SE.
 
 Everything is plain SQL over two tiny aggregates (the sample confusion
 matrix and the stratum pixel totals), so at 100 TB the only full-data
@@ -132,7 +142,8 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
                         check_coverage: bool = True) -> DataFrame:
     """Stratified-estimation accuracies (the AREA2 console's other half):
     per class — user's accuracy ``Û_h`` with its SE, producer's accuracy
-    ``P̂_k``, and the overall accuracy ``Ô`` repeated on every row (the
+    ``P̂_k`` with its SE (Olofsson et al. 2014 eq. 7), and the overall
+    accuracy ``Ô`` with its SE (eq. 5) repeated on every row (the
     shape a metrics CSV export wants; reference saves these to the
     metrics subfolder per ProjectWorkflow.md:258).
 
@@ -140,7 +151,7 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
     user's accuracy; a mapped stratum whose sample is entirely
     misclassified gets user's accuracy 0 (observed, not missing).
     Classes never observed in the reference get NULL producer's
-    accuracy.
+    accuracy (and NULL producer's SE).
     """
     if check_coverage:
         _check_stratum_coverage(sample, weights, map_col)
@@ -162,17 +173,32 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
                     .otherwise(F.lit(0.0)).alias("users_se"),
                     (F.col("w_own") * qd).alias("oa_term"),
                     "w_own"))
-    # p̂_k per reference class (denominator of producer's accuracy)
+    # p̂_k per reference class (producer's-accuracy denominator), plus its
+    # full variance sum Σ_h W_h²·q_hk(1−q_hk)/(n_h−1) — the h = k term is
+    # subtracted later via the (W_k·SE(Û_k))² identity
+    var_term = F.when(
+        F.col("n_h") > 1,
+        F.col("w") * F.col("w") * q * (F.lit(1.0) - q) / (F.col("n_h") - 1),
+    ).otherwise(F.lit(0.0))
     p_hat = (j.select(F.col(ref_col).alias("class"),
-                      (F.col("w") * q).alias("term"))
-             .groupBy("class").agg(F.sum("term").alias("p_hat")))
-    oa = diag.agg(F.sum("oa_term").alias("overall_acc"))
+                      (F.col("w") * q).alias("term"), var_term.alias("vterm"))
+             .groupBy("class").agg(F.sum("term").alias("p_hat"),
+                                   F.sum("vterm").alias("vsum")))
+    # V(Ô) = Σ_h W_h²·q_hh(1−q_hh)/(n_h−1) = Σ_h (W_h·SE(Û_h))²
+    oa_var = F.pow(F.col("w_own") * F.col("users_se"), 2)
+    oa = diag.agg(F.sum("oa_term").alias("overall_acc"),
+                  F.sqrt(F.sum(oa_var)).alias("overall_se"))
     # full outer: a class can be reference-only (users NULL) or map-only
     # (an all-wrong stratum — producers NULL, users an observed 0)
+    pacc = F.when(F.col("p_hat") > 0,
+                  F.col("w_own") * F.col("users_acc") / F.col("p_hat"))
+    vdiag = F.pow(F.col("w_own") * F.col("users_se"), 2)
+    off_diag = F.greatest(F.col("vsum") - vdiag, F.lit(0.0))
+    p_se = F.sqrt(F.pow(F.lit(1.0) - pacc, 2) * vdiag
+                  + F.pow(pacc, 2) * off_diag) / F.col("p_hat")
     return (p_hat.join(diag, "class", "full")
             .crossJoin(F.broadcast(oa))
             .select("class", "users_acc", "users_se",
-                    F.when(F.col("p_hat") > 0,
-                           F.col("w_own") * F.col("users_acc") / F.col("p_hat"))
-                    .alias("producers_acc"),
-                    "overall_acc"))
+                    pacc.alias("producers_acc"),
+                    F.when(F.col("p_hat") > 0, p_se).alias("producers_se"),
+                    "overall_acc", "overall_se"))

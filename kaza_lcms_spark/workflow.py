@@ -92,33 +92,48 @@ def score_accuracy(predicted: DataFrame, test: DataFrame) -> tuple[DataFrame, fl
 
 def score_area(predicted: DataFrame, test: DataFrame,
                total_area: float | None = None,
-               nodata: int | None = None) -> tuple[DataFrame, DataFrame]:
+               nodata: int | None = None,
+               check_coverage: bool = True) -> tuple[DataFrame, DataFrame]:
     """Step 6, AREA2 'Stratified Estimation'
     (/root/reference/ProjectWorkflow.md:225-256): the final LANDCOVER map
     is the stratification, the held-out testing points are the sample.
     Returns (area_estimates, accuracies) — per-class unbiased area
     proportions with SE + 95% CI, and the stratified user's/producer's/
     overall accuracies the AREA2 console prints (ml/area.py, Olofsson
-    estimator). One full-map hash-agg for the stratum weights; the rest
-    is broadcast-sized sample math.
+    estimator). Exactly TWO full-map passes, each materialized once
+    here: the stratum-weight hash-agg and the sample-extraction join
+    (broadcast on the tiny test side). Both results are ≤ test-size
+    rows, so they are collected and re-created as local frames —
+    downstream actions on the returned estimates never re-scan the map.
 
     ``nodata`` mirrors the AREA2 UI's third dialog (a class value outside
     the LANDCOVER typology): cells carrying it are excluded from the
     stratification — their area is not estimated and they contribute no
-    stratum weight."""
+    stratum weight. ``check_coverage=False`` skips the unsampled-stratum
+    guard (accepting biased-low proportions) the same way the ml.area
+    functions do; when True the guard runs exactly once here, not once
+    per downstream estimate."""
+    from pyspark.sql.functions import broadcast
+
     from .ml import area as A
 
+    spark = predicted.sparkSession
     if nodata is not None:
         predicted = predicted.where(F.col("LANDCOVER") != nodata)
     weights = A.stratum_weights(
         predicted.select(F.col("LANDCOVER").alias("map_class")))
-    sample = (test.select("cell_id",
-                          F.col("LANDCOVER").alias("ref_class"))
+    weights = spark.createDataFrame(weights.collect(), weights.schema)
+    sample = (broadcast(test.select("cell_id",
+                                    F.col("LANDCOVER").alias("ref_class")))
               .join(predicted.select("cell_id",
                                      F.col("LANDCOVER").alias("map_class")),
                     "cell_id"))
-    est = A.stratified_area_estimate(sample, weights, total_area=total_area)
-    acc = A.stratified_accuracy(sample, weights)
+    sample = spark.createDataFrame(sample.collect(), sample.schema)
+    if check_coverage:
+        A._check_stratum_coverage(sample, weights, "map_class")
+    est = A.stratified_area_estimate(sample, weights, total_area=total_area,
+                                     check_coverage=False)
+    acc = A.stratified_accuracy(sample, weights, check_coverage=False)
     return est, acc
 
 

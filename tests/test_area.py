@@ -56,6 +56,17 @@ def test_accuracy_hand_computed(hand_case):
     # Ô = Σ W_h q_hh = 0.75·0.75 + 0.25·0.75
     assert out[0]["overall_acc"] == pytest.approx(0.75, abs=1e-12)
     assert out[1]["overall_acc"] == pytest.approx(0.75, abs=1e-12)
+    # V(Ô) = Σ_h (W_h·SE(Û_h))²   (Olofsson 2014 eq. 5)
+    oa_se = math.sqrt(0.75**2 * (0.75 * 0.25) / 7
+                      + 0.25**2 * (0.75 * 0.25) / 3)
+    assert out[0]["overall_se"] == pytest.approx(oa_se, abs=1e-12)
+    assert out[1]["overall_se"] == pytest.approx(oa_se, abs=1e-12)
+    # V(P̂_0) (eq. 7): diag term W_0²(1−P̂)²·q_00(1−q_00)/(n_0−1),
+    # off-diag term P̂²·W_1²·q_10(1−q_10)/(n_1−1), all over p̂_0²
+    vdiag0 = 0.75**2 * (0.75 * 0.25) / 7
+    voff0 = 0.25**2 * (0.25 * 0.75) / 3
+    p_se0 = math.sqrt((1 - 0.9) ** 2 * vdiag0 + 0.9**2 * voff0) / 0.625
+    assert out[0]["producers_se"] == pytest.approx(p_se0, abs=1e-12)
 
 
 def _numpy_olofsson(n_hk, w):
@@ -89,6 +100,51 @@ def test_area_estimate_vs_numpy_random_matrix(spark):
         assert got[c]["se"] == pytest.approx(se[c], rel=1e-12)
     # design-based invariant: estimated proportions partition the map
     assert sum(r["p_hat"] for r in got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def _numpy_accuracy_ses(n_hk, w):
+    """Independent dense implementation of Olofsson et al. 2014 eq. 5 & 7
+    (overall- and producer's-accuracy variances), written directly from
+    the count-form formulas rather than the proportion identities used
+    by ml/area.py — a genuinely different code path."""
+    n_hk = np.asarray(n_hk, dtype=float)
+    w = np.asarray(w, dtype=float)
+    k = n_hk.shape[0]
+    n_h = n_hk.sum(axis=1)
+    q = n_hk / n_h[:, None]
+    p_hat = (w[:, None] * q).sum(axis=0)
+    u = np.diag(q)
+    oa_var = sum(w[h] ** 2 * u[h] * (1 - u[h]) / (n_h[h] - 1)
+                 for h in range(k) if n_h[h] > 1)
+    p_acc = w * np.diag(q) / p_hat
+    p_se = np.zeros(k)
+    for j in range(k):
+        t1 = (w[j] ** 2 * (1 - p_acc[j]) ** 2
+              * u[j] * (1 - u[j]) / (n_h[j] - 1)) if n_h[j] > 1 else 0.0
+        t2 = p_acc[j] ** 2 * sum(
+            w[h] ** 2 * q[h, j] * (1 - q[h, j]) / (n_h[h] - 1)
+            for h in range(k) if h != j and n_h[h] > 1)
+        p_se[j] = math.sqrt(t1 + t2) / p_hat[j]
+    return p_acc, p_se, float(np.dot(w, u)), math.sqrt(oa_var)
+
+
+def test_accuracy_ses_vs_numpy_random_matrix(spark):
+    rng = np.random.default_rng(51515)
+    k = 5
+    n_hk = rng.integers(0, 40, size=(k, k)) + np.eye(k, dtype=int) * 30
+    pix = rng.integers(1000, 100000, size=k)
+    w = pix / pix.sum()
+    rows = [(h, r) for h in range(k) for r in range(k)
+            for _ in range(int(n_hk[h, r]))]
+    out = {r["class"]: r for r in A.stratified_accuracy(
+        _sample_df(spark, rows),
+        _weights_df(spark, {h: float(w[h]) for h in range(k)})).collect()}
+    p_acc, p_se, oa, oa_se = _numpy_accuracy_ses(n_hk, w)
+    for c in range(k):
+        assert out[c]["producers_acc"] == pytest.approx(p_acc[c], rel=1e-12)
+        assert out[c]["producers_se"] == pytest.approx(p_se[c], rel=1e-12)
+        assert out[c]["overall_acc"] == pytest.approx(oa, rel=1e-12)
+        assert out[c]["overall_se"] == pytest.approx(oa_se, rel=1e-12)
 
 
 def test_singleton_stratum_contributes_zero_variance(spark):
