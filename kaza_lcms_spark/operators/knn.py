@@ -34,15 +34,21 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StructField,
 
 from .. import functions as KF
 
+def _round_half_away(a: np.ndarray, digits: int) -> np.ndarray:
+    """Half-away-from-zero rounding of the binary double — numpy twin of
+    functions.round_binary (Spark column) and plans/oracles.round_sql
+    (DuckDB). All three compute the identical IEEE multiply/add/floor
+    sequence, so every engine in the cosine family ranks and emits
+    bit-identical values (closes the r3 advice rank-flip gap; native
+    F.round/ROUND disagree at repr midpoints — see
+    functions.round_binary). ±inf passes through unchanged (floor(inf)
+    = inf), so IVF's -inf self-markers survive the rounding."""
+    p = 10.0 ** digits
+    return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
+
+
 def _round4(a: np.ndarray) -> np.ndarray:
-    """4-decimal half-away-from-zero rounding of the binary double —
-    numpy twin of functions.round4_binary (Spark column) and
-    plans/oracles.round4_sql (DuckDB). All three compute the identical
-    IEEE multiply/add/floor sequence, so every engine in the cosine
-    family ranks and emits bit-identical values (closes the r3 advice
-    rank-flip gap; native F.round/ROUND disagree at repr midpoints —
-    see functions.round4_binary)."""
-    return np.sign(a) * np.floor(np.abs(a) * 1e4 + 0.5) / 1e4
+    return _round_half_away(a, 4)
 
 
 def cosine_topk_relational(emb: DataFrame, k: int = 5,
@@ -343,7 +349,10 @@ def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
         return pd.DataFrame({
             "vec_id": np.repeat(qid, kk),
             "neighbor_id": iid[take].ravel(),
-            "cos": np.round(np.take_along_axis(sims, take, axis=1).ravel(), 6),
+            # shared half-away-from-zero convention, not np.round's
+            # half-to-even — one rounding rule across the cosine family
+            "cos": _round_half_away(
+                np.take_along_axis(sims, take, axis=1).ravel(), 6),
         })
 
     from ..plans.salting import pin_kernel_partitions
@@ -410,6 +419,114 @@ def _knn_block(ids: np.ndarray, h: np.ndarray, q_rows: np.ndarray,
             "hamming": cd[sel],
         }))
     return outs
+
+
+def _knn_block_xq(q_ids: np.ndarray, q_h: np.ndarray, i_ids: np.ndarray,
+                  i_h: np.ndarray, k: int, id_col: str) -> list[pd.DataFrame]:
+    """Cross-set variant of :func:`_knn_block`: top-k Hamming neighbors
+    for an explicit query array against a SEPARATE id-sorted item array
+    (the mega-cell block-grid kernel — queries and items arrive as
+    different chunk slices of the same cell). Self-pairs are excluded by
+    id equality, not position, because a query's own row lives in exactly
+    one item chunk. Same bounded-domain counting selection and
+    (distance, id) tie-break as _knn_block; per-chunk top-k is exact, so
+    the global window merge over chunk candidates reproduces the
+    single-kernel output (top-k of a union of per-subset top-k equals
+    global top-k under a total order)."""
+    from ..kernels import codec
+
+    n = len(i_ids)
+    outs = []
+    block = max(256, 8_000_000 // max(n, 1))
+    for s in range(0, len(q_ids), block):
+        qi, qh = q_ids[s:s + block], q_h[s:s + block]
+        b = len(qi)
+        d = codec.hamming64(qh[:, None], i_h[None, :])   # (b, n), 0..64
+        d[qi[:, None] == i_ids[None, :]] = 65            # exclude self by id
+        counts = np.bincount(
+            (d + (np.arange(b) * 66)[:, None]).ravel(),
+            minlength=b * 66).reshape(b, 66)
+        valid = counts[:, :65].sum(axis=1)
+        kk = np.minimum(k, valid)                        # chunk may hold < k items
+        cum = counts[:, :65].cumsum(axis=1)
+        thr = (cum >= np.maximum(kk, 1)[:, None]).argmax(axis=1)
+        # valid == 0 rows: every distance is 65, nothing passes thr = 0
+        rr, cc = np.nonzero(d <= thr[:, None])           # cc id-ordered (items sorted)
+        cd = d[rr, cc]
+        order = np.lexsort((cc, cd, rr))                 # (row, distance, id)
+        rr, cc, cd = rr[order], cc[order], cd[order]
+        starts = np.searchsorted(rr, np.arange(b))
+        pos = np.arange(len(rr)) - starts[rr]
+        sel = pos < k
+        outs.append(pd.DataFrame({
+            id_col: qi[rr[sel]],
+            "neighbor_id": i_ids[cc[sel]],
+            "hamming": cd[sel],
+        }))
+    return outs
+
+
+def _knn_mega_cells(points: DataFrame, k: int, cell_col: str, id_col: str,
+                    hash_col: str, cell_rows: dict, chunk_rows: int,
+                    salt_buckets: int, out_schema: StructType) -> DataFrame:
+    """Exact per-cell kNN for cells too large to broadcast: a block-grid
+    join, the join-shuffle analog of cosine_topk_blocked's broadcast
+    grid. Items are hash-chunked into ``ceil(n/chunk_rows)`` uniform
+    chunks, queries are salted into ``salt_buckets`` groups, and both
+    sides are replicated so every (item chunk × query salt) pair meets in
+    one bounded kernel; a window merge keeps the global per-query top-k.
+
+    Chosen over the child-cell descent the broadcast guard used to
+    suggest: spatial children of a hot river/border cell inherit its
+    skew (one child can carry most of the parent), while hash chunks are
+    uniform by construction — and descent changes which neighbors share
+    a kernel, requiring halo logic to stay exact. Shuffle volume is
+    n·(salt_buckets + n_chunks) rows of (id, hash) — linear replication
+    against the kernel's inherent O(n²) compute, and no task or
+    broadcast ever holds more than chunk_rows + its query slice."""
+    from ..plans import salting as SALT
+
+    spark = points.sparkSession
+    chunks = {c: max(1, -(-n // chunk_rows)) for c, n in cell_rows.items()}
+    nchunk_df = F.broadcast(spark.createDataFrame(
+        [(c, n) for c, n in chunks.items()], f"{cell_col} long, _nchunks int"))
+    pts = points.select(cell_col, id_col, hash_col).join(nchunk_df, cell_col)
+    # items: one chunk each, replicated to every query-salt group
+    items = (pts.withColumn("_ichunk",
+                            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nchunks")))
+             .withColumn("_ichunk", F.col("_ichunk").cast("int"))
+             .withColumn("_qsalt", F.explode(F.sequence(
+                 F.lit(0), F.lit(salt_buckets - 1))))
+             .withColumn("_side", F.lit(0)))
+    # queries: one salt group each, replicated to every item chunk
+    queries = (pts.withColumn("_qsalt",
+                              F.pmod(F.xxhash64(F.col(id_col)),
+                                     F.lit(salt_buckets)).cast("int"))
+               .withColumn("_ichunk", F.explode(F.sequence(
+                   F.lit(0), F.col("_nchunks") - 1)))
+               .withColumn("_side", F.lit(1)))
+    both = items.unionByName(queries).drop("_nchunks")
+
+    def per_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        it = pdf[pdf["_side"] == 0]
+        qr = pdf[pdf["_side"] == 1]
+        if not len(it) or not len(qr):
+            return pd.DataFrame({id_col: [], "neighbor_id": [], "hamming": []})
+        i_ids = it[id_col].to_numpy()
+        i_h = it[hash_col].to_numpy().astype(np.int64)
+        order = np.argsort(i_ids, kind="stable")         # id order = tie order
+        outs = _knn_block_xq(qr[id_col].to_numpy(),
+                             qr[hash_col].to_numpy().astype(np.int64),
+                             i_ids[order], i_h[order], k, id_col)
+        return pd.concat(outs)
+
+    cands = (SALT.pin_kernel_partitions(both, cell_col, "_ichunk", "_qsalt")
+             .groupBy(cell_col, "_ichunk", "_qsalt")
+             .applyInPandas(per_block, out_schema))
+    w = Window.partitionBy(id_col).orderBy(F.col("hamming").asc(),
+                                           F.col("neighbor_id").asc())
+    return (cands.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
 
 
 def with_caption_simhash(df: DataFrame, caption_col: str = "caption",
@@ -494,17 +611,29 @@ def caption_knn_per_cell(points: DataFrame, k: int,
 def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
                  id_col: str = "image_id", hash_col: str = "phash",
                  salt_threshold: int = 20000, salt_buckets: int = 8,
+                 broadcast_cap: int = 20_000_000,
+                 mega_chunk_rows: int = 1_000_000,
                  spark: SparkSession | None = None) -> DataFrame:
     """Per-cell kNN by phash Hamming distance — the north-star "caption
     neighbors per cell" operator, with EXPLICIT skew salting
     (plans.salting): hot river/border cells would otherwise pin one task
     per cell.
 
+    Three tiers, routed from ONE cell histogram (no path raises — every
+    input has an exact plan):
+
     * cold cells → groupBy(cell).applyInPandas, one kernel per cell;
     * hot cells (> salt_threshold rows) → their (id, hash) columns are
       broadcast (items side), queries are salted into `salt_buckets`
       sub-groups and probed against the broadcast — no task owns a whole
-      hot cell, results identical (tested).
+      hot cell, results identical (tested);
+    * mega cells — the largest hot cells are peeled off (biggest first)
+      until the remaining hot total fits ``broadcast_cap`` rows — take
+      the block-grid join path (:func:`_knn_mega_cells`): items
+      hash-chunked into ≤ ``mega_chunk_rows`` uniform chunks, queries
+      salted, every chunk×salt pair probed in a bounded kernel, global
+      top-k merged by window. Exact, broadcast-free, identical output
+      (tested vs brute force).
     """
     from ..plans import salting as SALT
 
@@ -525,28 +654,40 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
         outs = _knn_block(ids, h, np.arange(n), k, id_col)
         return pd.concat(outs)
 
-    hot = SALT.hot_cells(points, salt_threshold, cell_col)
-    hot_df, cold_df = SALT.split_hot_cold(points, hot, cell_col)
+    # one histogram drives all routing (hot membership AND the broadcast
+    # budget — the old separate hot_df.count() pass is folded in here)
+    hist = {r[0]: r[1] for r in SALT.cell_histogram(points, cell_col)
+            .where(F.col("n") > salt_threshold).collect()}
+    hot = list(hist)
+    # peel the largest cells into the mega tier until the remaining hot
+    # broadcast fits the cap — deterministic (size desc, cell id asc)
+    mega: list = []
+    hot_total = sum(hist.values())
+    for c in sorted(hot, key=lambda c: (-hist[c], c)):
+        if hot_total <= broadcast_cap:
+            break
+        mega.append(c)
+        hot_total -= hist[c]
+    hot = [c for c in hot if c not in set(mega)]
+    mega_df = points.where(F.col(cell_col).isin(mega)) if mega else None
+    hot_df, cold_df = SALT.split_hot_cold(
+        points.where(~F.col(cell_col).isin(mega)) if mega else points,
+        hot, cell_col)
     if spark is None:
         spark = points.sparkSession
     # pin the kernel stage's task count (AQE coalescing can't see the
     # O(n²) per-cell cost — see plans.salting.pin_kernel_partitions)
     cold_out = (SALT.pin_kernel_partitions(cold_df, cell_col)
                 .groupBy(cell_col).applyInPandas(per_cell, out_schema))
+    if mega:
+        cold_out = cold_out.unionByName(_knn_mega_cells(
+            mega_df, k, cell_col, id_col, hash_col,
+            {c: hist[c] for c in mega}, mega_chunk_rows, salt_buckets,
+            out_schema))
     if not hot:
         return cold_out
-    # broadcast hot-cell item sets (probe columns only, id-sorted).
-    # Guard: the broadcast is bounded by |hot cells|·threshold-ish rows;
-    # if a pathological plan would collect too much, fail loudly with the
-    # remedy (finer cell level or higher threshold → two-level split)
-    # rather than silently OOM-ing the driver.
-    n_hot_rows = hot_df.count()
-    max_broadcast = 20_000_000
-    if n_hot_rows > max_broadcast:
-        raise ValueError(
-            f"hot-cell broadcast would carry {n_hot_rows} rows "
-            f"(> {max_broadcast}); raise salt_threshold, use a finer "
-            "cell level, or split hot cells hierarchically before kNN")
+    # broadcast hot-cell item sets (probe columns only, id-sorted) —
+    # bounded by broadcast_cap by construction of the mega split above.
     # Arrow transfer + numpy grouping, not collect(): at the 20M-row
     # broadcast cap, Row objects cost ~10 GB of driver heap and a 20M-
     # iteration Python loop; toPandas is columnar end-to-end. ids are

@@ -55,6 +55,38 @@ def test_knn_salted_equals_unsalted(spark, cell_points):
     assert a == b
 
 
+def test_knn_mega_path_equals_unsalted(spark, cell_points):
+    """A cell exceeding broadcast_cap must take the block-grid join path
+    (no broadcast, hash-chunked items × salted queries) and still emit
+    exactly the single-kernel result — including heavy phash ties."""
+    unsalted = KNN.knn_per_cell(cell_points, k=3, salt_threshold=10**9)
+    # tiny caps so fixture cells become "mega": every hot cell (> 20
+    # rows) is peeled (cap 0), items split into many 40-row chunks
+    mega = KNN.knn_per_cell(cell_points, k=3, salt_threshold=20,
+                            salt_buckets=4, broadcast_cap=0,
+                            mega_chunk_rows=40)
+    a = sorted(tuple(r) for r in unsalted.collect())
+    b = sorted(tuple(r) for r in mega.collect())
+    assert a == b
+
+
+def test_knn_mega_split_is_partial(spark, cell_points):
+    """broadcast_cap between the largest and total hot sizes routes ONLY
+    the biggest cells to the grid path; the mix still matches brute."""
+    sizes = sorted((r["n"], r["cell_id"]) for r in cell_points
+                   .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+                   .collect())
+    biggest = sizes[-1][0]
+    assert biggest > 40, "fixture should have a > 40-row cell"
+    unsalted = KNN.knn_per_cell(cell_points, k=3, salt_threshold=10**9)
+    mixed = KNN.knn_per_cell(cell_points, k=3, salt_threshold=20,
+                             salt_buckets=4, broadcast_cap=biggest - 1,
+                             mega_chunk_rows=25)
+    a = sorted(tuple(r) for r in unsalted.collect())
+    b = sorted(tuple(r) for r in mixed.collect())
+    assert a == b
+
+
 def test_cosine_blocked_equals_relational(spark, sf_dir="/root/testdata/sf0.001"):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rel = {(r["vec_id"], r["neighbor_id"]) for r in
