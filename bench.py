@@ -192,7 +192,7 @@ def main() -> None:
             rf_train, rf_train, fcols, classes=rf_classes, n_trees=50,
             concurrency=conc).count()
 
-    rf_fit(8)                                   # warm MLlib/codegen paths
+    rf_fit(4)                                   # warm MLlib/codegen paths
     # same best-of arms for both modes — a lone seq shot would let one
     # ambient spike bias the reported speedup either way
     seq_best = float("inf")
@@ -200,7 +200,10 @@ def main() -> None:
         t0 = time.time(); rf_fit(1)
         seq_best = min(seq_best, time.time() - t0)
     extras["rf_primitives_seq_sec"] = round(seq_best, 3)
-    bench("rf_primitives", lambda: rf_fit(8), reps=2)
+    # concurrency 4 = the measured contention knee on local[32]
+    # (tools/rf_probe.py sweep: past 4, simultaneous driver segments
+    # contend for driver cores and the scheduler lock)
+    bench("rf_primitives", lambda: rf_fit(4), reps=2)
     extras["rf_concurrency_speedup"] = round(
         extras["rf_primitives_seq_sec"] / timings["rf_primitives"], 2)
     rf_train.unpersist()

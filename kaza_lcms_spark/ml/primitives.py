@@ -138,11 +138,15 @@ def fit_prims(train: DataFrame, feature_cols: list[str],
 
     sc = train.sparkSession.sparkContext
 
-    def fit_one(c):
+    def fit_one(ic):
+        i, c = ic
         # scope a scheduler pool to this thread: with FAIR mode on, each
-        # class's jobs share the cluster instead of queueing FIFO; with
-        # the default FIFO mode this is a harmless no-op label
-        sc.setLocalProperty("spark.scheduler.pool", f"rf-prim-{c}")
+        # class's jobs share the cluster instead of queueing FIFO; slot
+        # names match the pools declared in the shipped fairscheduler.xml
+        # (session.py) so the declared weight/minShare policy applies
+        # instead of unconfigured-pool defaults. With the default FIFO
+        # mode this is a harmless no-op label.
+        sc.setLocalProperty("spark.scheduler.pool", f"rf-slot-{i % 16}")
         try:
             return fit_rf_prim(format_pts(train, c, label_col),
                                feature_cols, n_trees=n_trees)
@@ -150,11 +154,11 @@ def fit_prims(train: DataFrame, feature_cols: list[str],
             sc.setLocalProperty("spark.scheduler.pool", None)
 
     if concurrency <= 1 or len(classes) <= 1:
-        fitted = [fit_one(c) for c in classes]
+        fitted = [fit_one(ic) for ic in enumerate(classes)]
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(concurrency, len(classes))) as ex:
-            fitted = list(ex.map(fit_one, classes))
+            fitted = list(ex.map(fit_one, enumerate(classes)))
     return dict(zip(classes, fitted))
 
 

@@ -24,6 +24,26 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS = 4096
 
 
+def _allocation_file() -> str | None:
+    """Materialize the packaged fairscheduler.xml to a filesystem path.
+    spark.scheduler.allocation.file is read by the driver JVM from a
+    path/URL, but under zip deployment (spark-submit --py-files) the
+    resource lives inside the archive — extract once per process."""
+    import tempfile
+
+    try:
+        from importlib import resources
+        text = (resources.files("kaza_lcms_spark")
+                .joinpath("fairscheduler.xml").read_text())
+    except Exception:
+        return None
+    f = tempfile.NamedTemporaryFile(
+        mode="w", suffix="-fairscheduler.xml", delete=False)
+    f.write(text)
+    f.close()
+    return f.name
+
+
 def get_spark(
     app_name: str = "kaza-lcms-spark",
     master: str | None = None,
@@ -51,12 +71,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # FAIR scheduling so concurrent driver-thread job submissions
         # (per-class RF fits, ml/primitives.py) share executor slots
-        # instead of queueing FIFO behind each other; pools are created
-        # on demand per thread via spark.scheduler.pool
+        # instead of queueing FIFO behind each other; the shipped
+        # allocation file declares the rf-slot-{i} pools (equal weight,
+        # minShare 1) so the scheduler runs the policy the concurrency
+        # claim names rather than unconfigured-pool defaults
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    alloc = _allocation_file()
+    if alloc is not None:
+        b = b.config("spark.scheduler.allocation.file", alloc)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -18,7 +18,7 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                if f.endswith((".py", ".xml")):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, ROOT))
     print(out)
