@@ -213,3 +213,51 @@ class Catalog:
                 raise RuntimeError(f"injected failure after {n_commits} commits")
         return {"written": len(pending), "skipped": len(want) - len(pending),
                 "snapshots": n_commits}
+
+    def append_batch(self, spark: SparkSession, df: DataFrame, name: str,
+                     partition_col: str, batch_id: int | None = None,
+                     layout=None) -> dict:
+        """Append one (micro-)batch into the table: new files land in the
+        batch's partitions, partition lineage MERGES (files +=, n_rows
+        +=), and the whole batch commits as ONE snapshot.
+
+        The exactly-once half of a streaming foreachBatch sink: Spark
+        replays the in-flight batch after a failure, so a ``batch_id``
+        at or below the manifest's ``last_batch_id`` is skipped — and a
+        crash between file write and manifest commit leaves only
+        orphaned files that no manifest names, invisible to
+        :meth:`read_table`. Batch ids commit monotonically (Structured
+        Streaming delivers them in order from one writer), so a single
+        high-water mark is sufficient replay state.
+        """
+        self.create_table(name)
+        manifest = self._read_manifest(name)
+        if batch_id is not None and batch_id <= manifest.get("last_batch_id", -1):
+            return {"written": 0, "n_rows": 0, "replayed_batch": True}
+        parts = [str(r[0]) for r in
+                 df.select(partition_col).distinct().orderBy(partition_col).collect()]
+        ddir = os.path.join(self._tdir(name), "data")
+        total = 0
+        for p in parts:
+            t0 = time.time()
+            out = os.path.join(ddir, f"{partition_col}={p}", uuid.uuid4().hex)
+            part_df = df.where(F.col(partition_col).cast("string") == p)
+            if layout is not None:
+                part_df = layout(part_df)
+            part_df.write.mode("overwrite").parquet(out)
+            files = [os.path.join(out, f) for f in os.listdir(out)
+                     if f.endswith(".parquet")]
+            n = spark.read.parquet(*files).count() if files else 0
+            total += n
+            entry = manifest["partitions"].setdefault(
+                p, {"n_rows": 0, "wall_s": 0.0, "ts": 0.0, "files": []})
+            entry["n_rows"] += n
+            entry["wall_s"] = round(entry["wall_s"] + time.time() - t0, 3)
+            entry["ts"] = time.time()
+            entry["files"] += files
+        manifest["snapshot"] += 1
+        if batch_id is not None:
+            manifest["last_batch_id"] = batch_id
+        self._commit(name, manifest)
+        return {"written": len(parts), "n_rows": total,
+                "replayed_batch": False}

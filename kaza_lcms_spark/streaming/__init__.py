@@ -11,5 +11,6 @@ mapInPandas transforms — plus a custom stateful operator
 `sessionize` query across micro-batch boundaries.
 """
 
-from .windows import (sessionize_stateful, stream_tile_counts,  # noqa: F401
+from .windows import (sessionize_stateful, stream_exact_dedup,  # noqa: F401
+                      stream_ingest_catalog, stream_tile_counts,
                       windowed_event_stats)

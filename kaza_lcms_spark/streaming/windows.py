@@ -102,6 +102,36 @@ def stream_tile_counts(spark: SparkSession, stream_images: DataFrame,
     return assigned.groupBy("unit_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+def stream_ingest_catalog(stream: DataFrame, catalog, table: str,
+                          partition_col: str, checkpoint: str,
+                          layout=None, available_now: bool = True):
+    """Stream a feed INTO the checkpointing catalog (S10 lineage layer):
+    a ``foreachBatch`` sink committing one snapshot manifest per
+    micro-batch through :meth:`Catalog.append_batch` — closing the loop
+    between §2.10 streaming and the batch table format. Readers only
+    ever see committed manifests; a replayed batch (failure/restart) is
+    skipped by the manifest's ``last_batch_id`` high-water mark, so the
+    sink is exactly-once end-to-end (Spark's checkpoint makes delivery
+    at-least-once; the manifest makes the commit idempotent).
+
+    ``layout`` passes through to the per-partition writer — use
+    ``sources.layout.cell_clustered`` to keep streaming ingest
+    Morton-clustered exactly like batch ingest (same pruning story).
+
+    Returns the started StreamingQuery; with ``available_now`` the query
+    drains what exists and stops (call ``awaitTermination()``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.append_batch(batch_df.sparkSession, batch_df, table,
+                             partition_col, batch_id=batch_id, layout=layout)
+
+    w = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_exact_dedup(stream: DataFrame, key_cols: tuple[str, ...] = ("text",),
                        ts_col: str = "ts",
                        watermark: str = "2 hours") -> DataFrame:

@@ -134,3 +134,70 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     assert len(texts) == len(set(texts)) == n_distinct_batch
     # and duplicates genuinely existed across the two files
     assert docs.count() > n_distinct_batch
+
+
+def test_stream_ingest_catalog_equals_batch_ingest(spark, tmp_path):
+    """Streaming a feed through the foreachBatch manifest sink must build
+    the SAME catalog table as one batch write_partitioned call: same
+    partition set, same per-partition lineage row counts, same row
+    multiset through read_table — and a restarted stream (same
+    checkpoint, no new input) must not duplicate anything."""
+    from kaza_lcms_spark.sources.catalog import Catalog
+    from kaza_lcms_spark.streaming import stream_ingest_catalog
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang")
+            .withColumn("pt", (F.col("doc_id") % 4).cast("long")))
+    src = str(tmp_path / "ingest_src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src + "/f=0")
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src + "/f=1")
+
+    bcat = Catalog(str(tmp_path / "cat_batch"))
+    bcat.write_partitioned(spark, docs, "docs", "pt")
+
+    scat = Catalog(str(tmp_path / "cat_stream"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f=*"))
+    q = stream_ingest_catalog(stream, scat, "docs", "pt",
+                              checkpoint=str(tmp_path / "ckpt_ing"))
+    q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1          # really multi-batch
+
+    assert scat.committed_partitions("docs") == bcat.committed_partitions("docs")
+    b_rows = {l.partition: l.n_rows for l in bcat.lineage("docs")}
+    s_rows = {l.partition: l.n_rows for l in scat.lineage("docs")}
+    assert s_rows == b_rows
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(scat.read_table(spark, "docs")) == key(bcat.read_table(spark, "docs"))
+    # one snapshot per micro-batch on the streaming side
+    assert len(scat.snapshots("docs")) >= 2
+
+    # restart with the same checkpoint and no new files: no-op
+    before = key(scat.read_table(spark, "docs"))
+    q2 = stream_ingest_catalog(
+        (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src + "/f=*")),
+        scat, "docs", "pt", checkpoint=str(tmp_path / "ckpt_ing"))
+    q2.awaitTermination(180)
+    assert key(scat.read_table(spark, "docs")) == before
+
+
+def test_append_batch_replay_is_skipped(spark, tmp_path):
+    """Direct exactly-once check: re-delivering an already-committed
+    batch id (what foreachBatch does after a mid-commit failure) must be
+    a no-op, while the next id appends."""
+    from kaza_lcms_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat_replay"))
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("pt"))
+    r1 = cat.append_batch(spark, df, "t", "pt", batch_id=0)
+    assert r1["n_rows"] == 10 and not r1["replayed_batch"]
+    r2 = cat.append_batch(spark, df, "t", "pt", batch_id=0)   # replay
+    assert r2["replayed_batch"] and r2["n_rows"] == 0
+    assert cat.read_table(spark, "t").count() == 10
+    r3 = cat.append_batch(spark, df, "t", "pt", batch_id=1)   # next batch
+    assert r3["n_rows"] == 10
+    assert cat.read_table(spark, "t").count() == 20
+    rows = {l.partition: l.n_rows for l in cat.lineage("t")}
+    assert rows == {"0": 10, "1": 10}
