@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--nodata", type=int, default=None,
                     help="class value excluded from the AREA2 stratification "
                          "(the AREA2 UI's no-data dialog)")
+    ap.add_argument("--partitions-per-commit", type=int, default=4,
+                    help="classes per snapshot commit in the catalog sink")
+    ap.add_argument("--fail-after", type=int, default=None,
+                    help="inject a crash after N snapshot commits "
+                         "(resume testing: the rerun must skip exactly "
+                         "the committed partitions)")
     ap.add_argument("--no-coverage-check", action="store_true",
                     help="accept strata without test points (biased-low "
                          "area proportions) instead of marking the AREA2 "
@@ -92,7 +98,10 @@ def main() -> None:
     # sink through the checkpointing catalog, partitioned by class
     # (resumable: a rerun skips committed partitions)
     cat = Catalog(args.out)
-    res = cat.write_partitioned(spark, landcover, args.table, "LANDCOVER")
+    res = cat.write_partitioned(
+        spark, landcover, args.table, "LANDCOVER",
+        partitions_per_commit=args.partitions_per_commit,
+        fail_after=args.fail_after)
     n = cat.read_table(spark, args.table).count()
 
     # 05 + Step 6: accuracy + AREA2 stratified area estimation. A
