@@ -409,18 +409,31 @@ def distance_join(points_df: DataFrame, radius_deg: float,
 def thin_points_exact(points_df: DataFrame, radius_deg: float,
                       id_col: str = "pt_id",
                       lon_col: str = "lon", lat_col: str = "lat",
-                      max_rounds: int = 64) -> DataFrame:
+                      max_rounds: int = 64,
+                      stats: dict | None = None) -> DataFrame:
     """EXACT distributed greedy thinning: identical output to the
     sequential fold the reference runs (iterate-dedup,
     /root/reference/src/utils/sampling.py:37-48, keep-lowest-id order).
 
     The sequential greedy is a priority MIS: p is KEPT iff every lower-id
     point within radius is DROPPED; DROPPED iff some lower-id neighbor is
-    KEPT. Computed as a parallel fixpoint: each round decides every point
-    whose lower-id neighbors are all decided — rounds needed = longest
-    dependency chain, not n. Each round is one join against the
-    still-undecided frontier (distance_join computes the neighbor graph
-    once, up front)."""
+    KEPT. Computed as a parallel fixpoint with TWO sound decision rules
+    per round:
+
+    * drop early — ANY kept lower-id neighbor drops a point immediately
+      (the greedy drops it no matter how its other lower neighbors
+      resolve), without waiting for them to be decided;
+    * keep — all lower-id neighbors decided and none kept.
+
+    Rounds needed = longest alternating kept/undecided dependency chain
+    (O(log n) in expectation under hash/random id assignment —
+    tools/thin_probe.py measures this at 1M points; ids assigned
+    MONOTONICALLY along a dense curve are the adversarial case, where
+    the sequential greedy itself has linear decision depth and no exact
+    parallelization can beat the chain). Each round is one join against
+    the still-undecided frontier (distance_join computes the neighbor
+    graph once, up front). ``stats`` (optional dict) receives
+    ``{"rounds": r}``."""
     pts = points_df.select(id_col, lon_col, lat_col)
     pairs = distance_join(pts, radius_deg, id_col, lon_col, lat_col).cache()
     # lower-id neighbor lists: edges a<b mean "b depends on a"
@@ -429,32 +442,33 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
     kept = None
     dropped = None
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
         if undecided.isEmpty():
             converged = True
             break
-        # a point is blocked iff it has an UNDECIDED or KEPT lower-id nbr
+        rounds += 1
         dep = pairs.withColumnRenamed("a", "lower").withColumnRenamed("b", "pid")
         und_lower = dep.join(undecided.withColumnRenamed("pid", "lower"), "lower",
                              "left_semi")
         kept_lower = (dep.join(kept.withColumnRenamed("pid", "lower"), "lower",
                                "left_semi") if kept is not None
                       else dep.where(F.lit(False)))
-        blocked_now = und_lower.select("pid").union(kept_lower.select("pid")).distinct()
-        # undecided points with NO undecided lower nbr are decidable:
-        decidable = undecided.join(und_lower.select("pid").distinct(), "pid",
-                                   "left_anti")
-        new_dropped = decidable.join(kept_lower.select("pid").distinct(), "pid",
+        # early drop: a kept lower-id neighbor is final evidence
+        new_dropped = undecided.join(kept_lower.select("pid").distinct(), "pid",
                                      "left_semi")
-        new_kept = decidable.join(kept_lower.select("pid").distinct(), "pid",
-                                  "left_anti")
+        # keep: every lower-id nbr decided (none undecided), none kept
+        new_kept = (undecided.join(new_dropped, "pid", "left_anti")
+                    .join(und_lower.select("pid").distinct(), "pid", "left_anti"))
         kept = new_kept if kept is None else kept.union(new_kept)
         dropped = new_dropped if dropped is None else dropped.union(new_dropped)
-        undecided = undecided.join(decidable, "pid", "left_anti")
+        undecided = (undecided.join(new_dropped, "pid", "left_anti")
+                     .join(new_kept, "pid", "left_anti"))
         kept = kept.localCheckpoint(eager=True)
         undecided = undecided.localCheckpoint(eager=True)
-        del blocked_now
     converged = converged or undecided.isEmpty()
+    if stats is not None:
+        stats["rounds"] = rounds
     pairs.unpersist()
     if not converged:
         n_left = undecided.count()
