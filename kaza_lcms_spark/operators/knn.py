@@ -215,12 +215,23 @@ def _ivf_codebook(spark: SparkSession, emb: DataFrame, n_centroids: int,
 def _ivf_tagged(spark: SparkSession, emb: DataFrame, n_centroids: int,
                 nprobe: int, sample_rows: int,
                 id_col: str, vec_col: str,
-                query_df: DataFrame | None = None) -> DataFrame:
+                query_df: DataFrame | None = None,
+                probe_margin: float | None = None) -> DataFrame:
     """Shared IVF assignment: train a small codebook on a driver sample
     (_ivf_codebook), broadcast it, and tag every vector with its top-1
-    bucket as an item (is_query=0) and its nprobe nearest buckets as a
-    query (is_query=1). One narrow mapInPandas; the bucket id is the
-    downstream shuffle key."""
+    bucket as an item (is_query=0) and its probe buckets as a query
+    (is_query=1). One narrow mapInPandas; the bucket id is the
+    downstream shuffle key.
+
+    ``probe_margin=None`` probes a FIXED nprobe buckets per query.
+    Otherwise the probe set is adaptive (auto-nprobe): bucket j is
+    probed only while its centroid similarity is within ``probe_margin``
+    of the query's best bucket, capped at ``nprobe`` — queries deep
+    inside a cluster (large similarity gap to the runner-up centroid)
+    probe 1-2 buckets, boundary queries probe up to the cap, spending
+    the candidate budget where recall is actually at risk. The decision
+    reuses the centroid similarities the assignment already computes —
+    zero extra distance work."""
     b_c = _ivf_codebook(spark, emb, n_centroids, sample_rows, id_col, vec_col)
 
     assign_schema = StructType([
@@ -237,17 +248,26 @@ def _ivf_tagged(spark: SparkSession, emb: DataFrame, n_centroids: int,
                     continue
                 q = np.array(list(b[vec_col]), dtype=np.float64)
                 sims = q @ C.T
-                top = np.argsort(-sims, axis=1)[:, :nprobe]
+                order = np.argsort(-sims, axis=1)[:, :nprobe]
+                top_sims = np.take_along_axis(sims, order, axis=1)
                 reps = []
                 if emit_items:
                     reps.append(pd.DataFrame({
-                        id_col: b[id_col], "bucket": top[:, 0], "is_query": 0,
+                        id_col: b[id_col], "bucket": order[:, 0], "is_query": 0,
                         vec_col: b[vec_col]}))
                 if emit_queries:
-                    for j in range(nprobe):
+                    for j in range(min(nprobe, order.shape[1])):
+                        if probe_margin is None or j == 0:
+                            sel = np.ones(len(b), dtype=bool)
+                        else:
+                            sel = (top_sims[:, 0] - top_sims[:, j]
+                                   <= probe_margin)
+                        if not sel.any():
+                            break
                         reps.append(pd.DataFrame({
-                            id_col: b[id_col], "bucket": top[:, j],
-                            "is_query": 1, vec_col: b[vec_col]}))
+                            id_col: b[id_col].to_numpy()[sel],
+                            "bucket": order[sel, j], "is_query": 1,
+                            vec_col: b[vec_col].to_numpy()[sel]}))
                 yield pd.concat(reps)
         return assign
 
@@ -293,7 +313,8 @@ def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     query_df: DataFrame | None = None,
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = True,
+                    probe_margin: float | None = None) -> DataFrame:
     """Approximate top-k by IVF bucketing — the 10¹²-row scale path for
     similarity search: a small centroid codebook is trained on a driver
     sample and broadcast; items partition into their nearest-centroid
@@ -314,12 +335,19 @@ def cosine_topk_ivf(spark: SparkSession, emb: DataFrame, k: int = 5,
     are unrelated vectors, and excluding them would silently drop true
     neighbors.
 
+    ``probe_margin`` switches the query side to adaptive auto-nprobe
+    (see :func:`_ivf_tagged`): ``nprobe`` becomes the probe CAP and a
+    query only fans out to runner-up buckets whose centroid similarity
+    is within the margin of its best bucket — same recall target at a
+    lower mean probed-bucket volume (measured in tools/ann_probe.py).
+
     (A packed-block bucket shuffle — (ids[], flat vecs[]) rows per
     (batch, bucket, role) — was measured at 1M×100k/nprobe 4 and was NOT
     faster than this per-row shape on local[32]: the Python per-bucket
     emit loop costs what the row overhead saves. Kept per-row.)"""
     tagged = _ivf_tagged(spark, emb, n_centroids, nprobe, sample_rows,
-                         id_col, vec_col, query_df=query_df)
+                         id_col, vec_col, query_df=query_df,
+                         probe_margin=probe_margin)
 
     cand_schema = StructType([
         StructField("vec_id", LongType()), StructField("neighbor_id", LongType()),

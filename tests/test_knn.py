@@ -205,6 +205,23 @@ def test_cosine_ivf_codebook_unbiased_on_id_ordered_corpus(spark):
     assert recall >= 0.85, f"recall {recall:.3f} on id-clustered corpus"
 
 
+def test_ivf_auto_nprobe_degenerate_margins(spark):
+    """probe_margin semantics pin to the fixed-nprobe ends: an infinite
+    margin probes every capped bucket (== fixed nprobe), a zero margin
+    probes only the top bucket (== nprobe 1, absent exact centroid-sim
+    ties, which a continuous corpus doesn't produce)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    fixed4 = KNN.cosine_topk_ivf(spark, emb, k=3, n_centroids=8, nprobe=4)
+    auto_inf = KNN.cosine_topk_ivf(spark, emb, k=3, n_centroids=8, nprobe=4,
+                                   probe_margin=1e9)
+    assert key(auto_inf) == key(fixed4)
+    fixed1 = KNN.cosine_topk_ivf(spark, emb, k=3, n_centroids=8, nprobe=1)
+    auto_zero = KNN.cosine_topk_ivf(spark, emb, k=3, n_centroids=8, nprobe=4,
+                                    probe_margin=0.0)
+    assert key(auto_zero) == key(fixed1)
+
+
 def test_caption_simhash_matches_scalar_fold_and_nul_tokens(spark):
     """Vectorized SimHash == a scalar per-token FNV-1a reference on
     normal captions, AND tokens with genuine trailing NUL bytes hash

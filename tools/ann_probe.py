@@ -146,6 +146,39 @@ def main() -> None:
         print(f"nprobe={nprobe}: {t:.2f}s ({1000 * t / N_QUERIES:.3f} ms/query) "
               f"recall@{K}={recall:.3f}")
 
+    # --- auto-nprobe arms: adaptive probe set (cap 8), margin sweep.
+    # Mean probed-bucket volume = query-tagged rows / queries (the
+    # replication factor that drives shuffle + kernel cost).
+    auto_rows = []
+    for margin in (0.02, 0.05, 0.10):
+        t, out = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            arm = KNN.cosine_topk_ivf(
+                spark, emb, k=K, n_centroids=N_CENTROIDS, nprobe=8,
+                query_df=queries, probe_margin=margin).cache()
+            arm.count()
+            dt = time.time() - t0
+            if dt < t:
+                if out is not None:
+                    out.unpersist()
+                t, out = dt, arm
+            else:
+                arm.unpersist()
+        got = {}
+        for r in out.where(F.col("vec_id") % RECALL_EVERY == 0).collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        recall = hits / sum(len(truth[q]) for q in truth)
+        out.unpersist()
+        mean_probe = (KNN._ivf_tagged(
+            spark, emb, N_CENTROIDS, 8, 20000, "vec_id", "embedding",
+            query_df=queries, probe_margin=margin)
+            .where(F.col("is_query") == 1).count() / N_QUERIES)
+        auto_rows.append((margin, mean_probe, t, recall))
+        print(f"auto margin={margin}: mean nprobe {mean_probe:.2f}, "
+              f"{t:.2f}s, recall@{K}={recall:.3f}")
+
     r_def = next(r for r in rows if r[0] == DEFAULT_NPROBE)
     lines = [
         "",
@@ -171,7 +204,42 @@ def main() -> None:
         "deployment tunes per corpus. All stages are the engine's scale",
         "shapes: one bucket-id shuffle, pinned per-bucket BLAS kernels, a",
         "window merge; no driver collect on the hot path.",
+        "",
+        "### Auto-nprobe (adaptive probe set, cap 8)",
+        "",
+        "A query probes runner-up buckets only while their centroid",
+        "similarity is within `probe_margin` of its best bucket — deep",
+        "in-cluster queries probe 1-2, boundary queries up to the cap,",
+        "reusing the similarities the assignment already computes:",
+        "",
+        "| probe_margin | mean probed buckets | wall sec | recall@5 |",
+        "|---|---|---|---|",
     ]
+    for margin, mean_probe, t, recall in auto_rows:
+        lines.append(f"| {margin:.2f} | {mean_probe:.2f} | {t:.2f} "
+                     f"| {recall:.3f} |")
+    beat = [r for r in auto_rows
+            if r[3] >= r_def[3] and r[1] < DEFAULT_NPROBE]
+    if beat:
+        m = min(beat, key=lambda r: r[1])
+        lines += [
+            "",
+            f"At margin {m[0]:.2f} the adaptive set matches-or-beats the",
+            f"fixed nprobe={DEFAULT_NPROBE} recall ({m[3]:.3f} vs "
+            f"{r_def[3]:.3f}) while probing {m[1]:.2f} buckets per query",
+            f"on average ({100 * (1 - m[1] / DEFAULT_NPROBE):.0f}% less",
+            "candidate volume).",
+        ]
+    else:
+        lines += [
+            "",
+            "Negative result on THIS corpus: no margin in the sweep",
+            f"matched fixed nprobe={DEFAULT_NPROBE} recall at lower mean",
+            "probed volume — with 64 well-separated latent clusters the",
+            "boundary-query population is too small for adaptivity to",
+            "pay; the knob stays available for corpora with broader",
+            "cluster overlap.",
+        ]
     with open("/root/repo/BENCH/BASELINE.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     assert r_def[3] >= 0.85, f"recall {r_def[3]:.3f} below target at default nprobe"
