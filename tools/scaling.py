@@ -116,9 +116,22 @@ def main() -> None:
     n_flag_primary = 40_000_000 if not quick else n_flag
     f2, f8 = alternating_flagship(n_flag_primary)
 
-    print("secondary: unpinned local[8] vs local[32] ...")
+    print("secondary: unpinned local[8] vs local[32] (interleaved best-of-2) ...")
+    # interleave the arms and keep the per-query best of 2 suite runs:
+    # a single-shot arm once baked a 2.3× ambient-load inversion into a
+    # committed row (knn_per_cell_phash 7.58 s at 32 cores vs 1.74 s in
+    # the same round's driver bench) — r4 verdict nit #2
+    def merge_best(a: dict, b: dict) -> dict:
+        out = dict(a)
+        out["queries"] = {q: min(a["queries"][q], b["queries"][q])
+                          for q in a["queries"]}
+        out["value"] = round(min(a["value"], b["value"]), 2)
+        return out
+
     u8 = run_bench(8, None, n_images, n_flag)
     u32 = run_bench(32, None, n_images, n_flag)
+    u8 = merge_best(u8, run_bench(8, None, n_images, n_flag))
+    u32 = merge_best(u32, run_bench(32, None, n_images, n_flag))
 
     eff_primary = (f2 / f8) / 4.0
     tph2 = n_flag_primary / f2
@@ -166,6 +179,10 @@ def main() -> None:
         + ("(meets the ≥0.8 target)." if eff_primary >= 0.8 else "(below 0.8 target)."),
         "",
         "## Secondary: unpinned local[8] vs local[32]",
+        "",
+        "Per-query best of 2 full suite runs per arm, arms interleaved",
+        "(8, 32, 8, 32) so an ambient-load burst cannot land entirely on",
+        "one arm and bake a spurious inversion into a row.",
         "",
     ] + table(u8, u32, 4.0) + [
         "",
