@@ -514,10 +514,16 @@ def _knn_mega_cells(points: DataFrame, k: int, cell_col: str, id_col: str,
     broadcast ever holds more than chunk_rows + its query slice."""
     from ..plans import salting as SALT
 
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     spark = points.sparkSession
     chunks = {c: max(1, -(-n // chunk_rows)) for c, n in cell_rows.items()}
+    nchunk_schema = StructType([
+        StructField(cell_col, points.schema[cell_col].dataType),
+        StructField("_nchunks", IntegerType()),
+    ])
     nchunk_df = F.broadcast(spark.createDataFrame(
-        [(c, n) for c, n in chunks.items()], f"{cell_col} long, _nchunks int"))
+        list(chunks.items()), nchunk_schema))
     pts = points.select(cell_col, id_col, hash_col).join(nchunk_df, cell_col)
     # items: one chunk each, replicated to every query-salt group
     items = (pts.withColumn("_ichunk",
@@ -696,7 +702,8 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
             break
         mega.append(c)
         hot_total -= hist[c]
-    hot = [c for c in hot if c not in set(mega)]
+    mega_set = set(mega)
+    hot = [c for c in hot if c not in mega_set]
     mega_df = points.where(F.col(cell_col).isin(mega)) if mega else None
     hot_df, cold_df = SALT.split_hot_cold(
         points.where(~F.col(cell_col).isin(mega)) if mega else points,

@@ -440,7 +440,6 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
     ids = pts.select(F.col(id_col).alias("pid"))
     undecided = ids
     kept = None
-    dropped = None
     converged = False
     rounds = 0
     for _ in range(max_rounds):
@@ -454,14 +453,15 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
         kept_lower = (dep.join(kept.withColumnRenamed("pid", "lower"), "lower",
                                "left_semi") if kept is not None
                       else dep.where(F.lit(False)))
-        # early drop: a kept lower-id neighbor is final evidence
+        # early drop: a kept lower-id neighbor is final evidence (the
+        # dropped set itself needs no accumulator — dropped points simply
+        # leave `undecided` and never block anything)
         new_dropped = undecided.join(kept_lower.select("pid").distinct(), "pid",
                                      "left_semi")
         # keep: every lower-id nbr decided (none undecided), none kept
         new_kept = (undecided.join(new_dropped, "pid", "left_anti")
                     .join(und_lower.select("pid").distinct(), "pid", "left_anti"))
         kept = new_kept if kept is None else kept.union(new_kept)
-        dropped = new_dropped if dropped is None else dropped.union(new_dropped)
         undecided = (undecided.join(new_dropped, "pid", "left_anti")
                      .join(new_kept, "pid", "left_anti"))
         kept = kept.localCheckpoint(eager=True)

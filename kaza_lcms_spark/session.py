@@ -24,11 +24,17 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS = 4096
 
 
+_ALLOC_FILE: list[str | None] = []  # memo: extract once per process
+
+
 def _allocation_file() -> str | None:
     """Materialize the packaged fairscheduler.xml to a filesystem path.
     spark.scheduler.allocation.file is read by the driver JVM from a
     path/URL, but under zip deployment (spark-submit --py-files) the
-    resource lives inside the archive — extract once per process."""
+    resource lives inside the archive — extract once per process
+    (memoized: repeated get_spark calls reuse the same temp file)."""
+    if _ALLOC_FILE:
+        return _ALLOC_FILE[0]
     import tempfile
 
     try:
@@ -36,11 +42,13 @@ def _allocation_file() -> str | None:
         text = (resources.files("kaza_lcms_spark")
                 .joinpath("fairscheduler.xml").read_text())
     except Exception:
+        _ALLOC_FILE.append(None)
         return None
     f = tempfile.NamedTemporaryFile(
         mode="w", suffix="-fairscheduler.xml", delete=False)
     f.write(text)
     f.close()
+    _ALLOC_FILE.append(f.name)
     return f.name
 
 

@@ -159,6 +159,46 @@ class Catalog:
 
     # ------------------------------------------------------------ writes
 
+    def _partition_values(self, df: DataFrame, partition_col: str) -> list:
+        """Distinct partition values as (raw_value, manifest_key) pairs,
+        ordered by key. Filtering uses the RAW value (eqNullSafe), never
+        a cast-to-string round trip: str(None) == 'None' and str(True)
+        == 'True' do not match Spark's CAST AS STRING ('NULL'/'true'),
+        which would commit empty partitions while the real rows are
+        dropped. Distinct raw values whose str() collide (a string
+        column holding the literal 'None' next to NULLs) would silently
+        merge manifest entries — refused loudly."""
+        vals = [r[0] for r in
+                df.select(partition_col).distinct().orderBy(partition_col).collect()]
+        pairs = sorted(((v, str(v)) for v in vals), key=lambda p: p[1])
+        keys = [k for _, k in pairs]
+        if len(set(keys)) != len(keys):
+            dupes = sorted({k for k in keys if keys.count(k) > 1})
+            raise ValueError(
+                f"partition values of {partition_col!r} collide when "
+                f"stringified for manifest keys: {dupes}; rename or cast "
+                "the partition column so keys are unique")
+        return pairs
+
+    def _write_partition(self, spark: SparkSession, df: DataFrame,
+                         name: str, partition_col: str, value, key: str,
+                         layout=None) -> tuple[list[str], int, float]:
+        """Write one partition's rows into a fresh uuid directory and
+        return (files, n_rows, wall_s). Shared by the batch writer and
+        the streaming append sink so their on-disk layouts cannot
+        diverge."""
+        t0 = time.time()
+        out = os.path.join(self._tdir(name), "data",
+                           f"{partition_col}={key}", uuid.uuid4().hex)
+        part_df = df.where(F.col(partition_col).eqNullSafe(F.lit(value)))
+        if layout is not None:
+            part_df = layout(part_df)
+        part_df.write.mode("overwrite").parquet(out)
+        files = [os.path.join(out, f) for f in os.listdir(out)
+                 if f.endswith(".parquet")]
+        n = spark.read.parquet(*files).count() if files else 0
+        return files, n, round(time.time() - t0, 3)
+
     def write_partitioned(self, spark: SparkSession, df: DataFrame, name: str,
                           partition_col: str,
                           partitions_per_commit: int = 4,
@@ -184,26 +224,17 @@ class Catalog:
         """
         self.create_table(name)
         committed = self.committed_partitions(name)
-        want = [str(r[0]) for r in
-                df.select(partition_col).distinct().orderBy(partition_col).collect()]
-        pending = [p for p in want if p not in committed]
-        ddir = os.path.join(self._tdir(name), "data")
+        want = self._partition_values(df, partition_col)
+        pending = [(v, k) for v, k in want if k not in committed]
         n_commits = 0
         for g0 in range(0, len(pending), partitions_per_commit):
             group = pending[g0:g0 + partitions_per_commit]
             manifest = self._read_manifest(name)
-            for p in group:
-                t0 = time.time()
-                out = os.path.join(ddir, f"{partition_col}={p}", uuid.uuid4().hex)
-                part_df = df.where(F.col(partition_col).cast("string") == p)
-                if layout is not None:
-                    part_df = layout(part_df)
-                part_df.write.mode("overwrite").parquet(out)
-                files = [os.path.join(out, f) for f in os.listdir(out)
-                         if f.endswith(".parquet")]
-                n = spark.read.parquet(*files).count() if files else 0
-                manifest["partitions"][p] = {
-                    "n_rows": n, "wall_s": round(time.time() - t0, 3),
+            for v, k in group:
+                files, n, wall = self._write_partition(
+                    spark, df, name, partition_col, v, k, layout=layout)
+                manifest["partitions"][k] = {
+                    "n_rows": n, "wall_s": wall,
                     "ts": time.time(), "files": files,
                 }
             manifest["snapshot"] += 1
@@ -234,25 +265,16 @@ class Catalog:
         manifest = self._read_manifest(name)
         if batch_id is not None and batch_id <= manifest.get("last_batch_id", -1):
             return {"written": 0, "n_rows": 0, "replayed_batch": True}
-        parts = [str(r[0]) for r in
-                 df.select(partition_col).distinct().orderBy(partition_col).collect()]
-        ddir = os.path.join(self._tdir(name), "data")
+        parts = self._partition_values(df, partition_col)
         total = 0
-        for p in parts:
-            t0 = time.time()
-            out = os.path.join(ddir, f"{partition_col}={p}", uuid.uuid4().hex)
-            part_df = df.where(F.col(partition_col).cast("string") == p)
-            if layout is not None:
-                part_df = layout(part_df)
-            part_df.write.mode("overwrite").parquet(out)
-            files = [os.path.join(out, f) for f in os.listdir(out)
-                     if f.endswith(".parquet")]
-            n = spark.read.parquet(*files).count() if files else 0
+        for v, k in parts:
+            files, n, wall = self._write_partition(
+                spark, df, name, partition_col, v, k, layout=layout)
             total += n
             entry = manifest["partitions"].setdefault(
-                p, {"n_rows": 0, "wall_s": 0.0, "ts": 0.0, "files": []})
+                k, {"n_rows": 0, "wall_s": 0.0, "ts": 0.0, "files": []})
             entry["n_rows"] += n
-            entry["wall_s"] = round(entry["wall_s"] + time.time() - t0, 3)
+            entry["wall_s"] = round(entry["wall_s"] + wall, 3)
             entry["ts"] = time.time()
             entry["files"] += files
         manifest["snapshot"] += 1

@@ -125,7 +125,10 @@ def main() -> None:
         out = dict(a)
         out["queries"] = {q: min(a["queries"][q], b["queries"][q])
                           for q in a["queries"]}
-        out["value"] = round(min(a["value"], b["value"]), 2)
+        # suite total = sum of the merged per-query minima, so the
+        # published table's total row reconciles with its own rows
+        # (min-of-run-totals would mix a different run per query)
+        out["value"] = round(sum(out["queries"].values()), 2)
         return out
 
     u8 = run_bench(8, None, n_images, n_flag)

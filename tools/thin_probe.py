@@ -34,9 +34,10 @@ sys.path.insert(0, "/root/repo")
 RADIUS = 0.01
 
 
-def _corpus(spark, n: int, monotone_ids: bool):
+def _corpus(spark, n: int):
     """70% river (dense squiggle, chains every direction), 30% uniform
-    background; ids hash-permuted unless monotone_ids."""
+    background; hash-permuted ids (the adversarial monotone-id case is
+    a separate explicit dense chain in main())."""
     import numpy as np
 
     rng = np.random.default_rng(90210)
@@ -47,12 +48,9 @@ def _corpus(spark, n: int, monotone_ids: bool):
            + rng.normal(0, RADIUS, n_riv))
     blon = rng.uniform(20.0, 22.0, n - n_riv)
     blat = rng.uniform(-19.0, -17.0, n - n_riv)
-    order = np.argsort(np.concatenate([t, 2.0 + blon]))  # along-river order
-    alon = np.concatenate([lon, blon])[order]
-    alat = np.concatenate([lat, blat])[order]
-    ids = np.arange(n, dtype=np.int64)
-    if not monotone_ids:
-        ids = rng.permutation(ids)
+    alon = np.concatenate([lon, blon])
+    alat = np.concatenate([lat, blat])
+    ids = rng.permutation(np.arange(n, dtype=np.int64))
     import pandas as pd
     return spark.createDataFrame(
         pd.DataFrame({"pt_id": ids, "lon": alon, "lat": alat}))
@@ -68,7 +66,7 @@ def main() -> None:
     spark = get_spark(app_name="thin-probe", master="local[32]",
                       shuffle_partitions=64)
 
-    pts = _corpus(spark, n, monotone_ids=False).cache()
+    pts = _corpus(spark, n).cache()
     pts.count()
     pairs = SJ.distance_join(pts, RADIUS).cache()
     n_pairs = pairs.count()
