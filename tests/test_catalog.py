@@ -198,3 +198,39 @@ def test_write_partitioned_with_clustered_layout(spark, tmp_path):
                  cat.read_table(spark, "imgs").collect())
     want = sorted(r["image_id"] for r in tbl.collect())
     assert got == want
+
+
+def test_partition_values_survive_stringification(spark, tmp_path):
+    """Boolean and NULL partition values must not be lost to the
+    str(python) vs CAST AS STRING mismatch ('True' vs 'true', 'None' vs
+    NULL): every row lands in its partition, and a NULL-vs-'None' key
+    collision is refused instead of silently merging manifests."""
+    from pyspark.sql import functions as F
+
+    from kaza_lcms_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat_types"))
+    bools = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("flag"))
+    res = cat.write_partitioned(spark, bools, "t_bool", "flag")
+    assert res["written"] == 2
+    rows = {l.partition: l.n_rows for l in cat.lineage("t_bool")}
+    assert rows == {"True": 5, "False": 5}
+    assert cat.read_table(spark, "t_bool").count() == 10
+
+    nulls = spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") < 3, F.lit(None)).otherwise(F.col("id") % 2)
+         .cast("long").alias("pt"))
+    r = cat.append_batch(spark, nulls, "t_null", "pt", batch_id=0)
+    assert r["n_rows"] == 10
+    rows = {l.partition: l.n_rows for l in cat.lineage("t_null")}
+    assert rows == {"None": 3, "0": 3, "1": 4}
+    assert cat.read_table(spark, "t_null").count() == 10
+
+    clash = spark.range(4).select(
+        F.col("id"),
+        F.when(F.col("id") < 2, F.lit("None")).otherwise(F.lit(None))
+         .alias("pt"))
+    with pytest.raises(ValueError, match="collide"):
+        cat.write_partitioned(spark, clash, "t_clash", "pt")
