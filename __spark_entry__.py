@@ -794,6 +794,23 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.hamming_topk(docs.select("doc_id", h.alias("h")), k=3)
 
 
+def q_knn_per_cell_mega(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 mega tier, value-gated: per-cell Hamming top-3 where EVERY
+    cell is forced down the broadcast-free block-grid path
+    (broadcast_cap=0 peels all hot cells; chunk 12 → 3 item chunks × 4
+    query salts per cell). The oracle is the plain per-cell window SQL —
+    the grid decomposition must reproduce it exactly, ties included."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    h = (F.shiftleft(F.col("doc_id") * F.lit(48271) % F.lit(M31), 31)
+         .bitwiseOR(F.col("doc_id") * F.lit(69621) % F.lit(M31)))
+    pts = docs.select("doc_id", (F.col("doc_id") % 6).alias("cell"),
+                      h.alias("h"))
+    out = KNN.knn_per_cell(pts, k=3, cell_col="cell", id_col="doc_id",
+                           hash_col="h", salt_threshold=20, salt_buckets=4,
+                           broadcast_cap=0, mega_chunk_rows=12)
+    return out.orderBy("doc_id", "hamming", "neighbor_id")
+
+
 # ===================================================== non-SQL-expressible ==
 
 def q_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries below position 50 stay oracle-gated via tools/parity.py.
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_hamming": q_knn_hamming,
+        "knn_per_cell_mega": q_knn_per_cell_mega,
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "cosine_near_dup": q_cosine_near_dup,
         "hamming_near_dup": q_hamming_near_dup,
@@ -1687,6 +1705,19 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY a.doc_id
                            ORDER BY bit_count(xor(a.h, b.h)) ASC, b.doc_id ASC) AS rn
                 FROM h a JOIN h b ON a.doc_id <> b.doc_id)
+            WHERE rn <= 3
+        """,
+        "knn_per_cell_mega": f"""
+            WITH h AS (
+                SELECT doc_id, doc_id % 6 AS cell,
+                       (((doc_id * 48271) % {M31}) << 31) | ((doc_id * 69621) % {M31}) AS h
+                FROM documents WHERE doc_id < 200)
+            SELECT doc_id, neighbor_id, hamming FROM (
+                SELECT a.doc_id, b.doc_id AS neighbor_id,
+                       bit_count(xor(a.h, b.h)) AS hamming,
+                       ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                           ORDER BY bit_count(xor(a.h, b.h)) ASC, b.doc_id ASC) AS rn
+                FROM h a JOIN h b ON a.cell = b.cell AND a.doc_id <> b.doc_id)
             WHERE rn <= 3
         """,
     }
