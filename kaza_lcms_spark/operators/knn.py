@@ -286,14 +286,16 @@ def _ivf_tagged(spark: SparkSession, emb: DataFrame, n_centroids: int,
 def ivf_candidate_pairs(spark: SparkSession, emb: DataFrame,
                         n_centroids: int = 16, nprobe: int = 4,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        sample_rows: int = 20000) -> DataFrame:
+                        sample_rows: int = 20000,
+                        probe_margin: float | None = None) -> DataFrame:
     """(a, b, va, vb) candidate pairs sharing an IVF bucket (either side's
     probe set covers the other's home bucket) — the bucketed, never-
     all-pairs candidate generator for embedding near-dup verification.
     One shuffle on bucket id + distinct + two id-keyed hash joins to
-    re-attach vectors."""
+    re-attach vectors. ``probe_margin`` enables the same adaptive
+    auto-nprobe as :func:`cosine_topk_ivf`."""
     tagged = _ivf_tagged(spark, emb, n_centroids, nprobe, sample_rows,
-                         id_col, vec_col)
+                         id_col, vec_col, probe_margin=probe_margin)
     q = tagged.where(F.col("is_query") == 1).select(
         F.col(id_col).alias("qa"), "bucket")
     i = tagged.where(F.col("is_query") == 0).select(

@@ -201,3 +201,40 @@ def test_append_batch_replay_is_skipped(spark, tmp_path):
     assert cat.read_table(spark, "t").count() == 20
     rows = {l.partition: l.n_rows for l in cat.lineage("t")}
     assert rows == {"0": 10, "1": 10}
+
+
+def test_stream_ingest_with_clustered_layout(spark, tmp_path):
+    """Streaming ingest through layout=cell_clustered must keep the same
+    pruning story as batch ingest: identical row multiset AND every
+    committed parquet file internally sorted by cell_id (the property
+    footer min/max pruning relies on)."""
+    import pyarrow.parquet as pq
+
+    from kaza_lcms_spark.sources.catalog import Catalog
+    from kaza_lcms_spark.sources.layout import cell_clustered
+    from kaza_lcms_spark.streaming import stream_ingest_catalog
+
+    rows = spark.range(2000).select(
+        F.col("id").alias("image_id"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("cell_id"),
+        (F.col("id") % 3).alias("pt"))
+    src = str(tmp_path / "clustered_src")
+    rows.where(F.col("image_id") % 2 == 0).coalesce(1).write.parquet(src + "/f=0")
+    rows.where(F.col("image_id") % 2 == 1).coalesce(1).write.parquet(src + "/f=1")
+
+    cat = Catalog(str(tmp_path / "cat_layout"))
+    layout = lambda d: cell_clustered(d, n_files=2)  # noqa: E731
+    stream = (spark.readStream.schema(rows.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f=*"))
+    q = stream_ingest_catalog(stream, cat, "imgs", "pt",
+                              checkpoint=str(tmp_path / "ckpt_layout"),
+                              layout=layout)
+    q.awaitTermination(180)
+
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(cat.read_table(spark, "imgs")) == key(rows)
+    files = [f for l in cat.lineage("imgs") for f in l.files]
+    assert len(files) >= 4                      # ≥2 files × ≥2 batches
+    for f in files:
+        cells = pq.read_table(f, columns=["cell_id"])["cell_id"].to_pylist()
+        assert cells == sorted(cells), f
