@@ -511,9 +511,11 @@ def _knn_mega_cells(points: DataFrame, k: int, cell_col: str, id_col: str,
     skew (one child can carry most of the parent), while hash chunks are
     uniform by construction — and descent changes which neighbors share
     a kernel, requiring halo logic to stay exact. Shuffle volume is
-    n·(salt_buckets + n_chunks) rows of (id, hash) — linear replication
-    against the kernel's inherent O(n²) compute, and no task or
-    broadcast ever holds more than chunk_rows + its query slice."""
+    n·(salt_buckets + n/chunk_rows) rows of (id, hash) per cell —
+    n²/chunk_rows grows with the cell, but stays ~chunk_rows× smaller
+    than the kernel's inherent O(n²) distance computations (which any
+    EXACT per-cell kNN must perform), and no task or broadcast ever
+    holds more than chunk_rows + its query slice."""
     from ..plans import salting as SALT
 
     from pyspark.sql.types import IntegerType, StructField, StructType
