@@ -150,3 +150,41 @@ def test_frame_container_roundtrip_any_payload(frames):
     blob = codec.pack_frames(frames)
     assert codec.frame_count(blob) == len(frames)
     assert [f for _, f in codec.iter_frames(blob)] == frames
+
+
+@given(st.integers(1, 40), st.integers(1, 60), st.integers(1, 8),
+       st.integers(0, 2**31 - 1), st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_knn_block_xq_equals_bruteforce(nq, ni, k, seed, dup_every):
+    """Cross-set counting-select kernel (mega-cell tier) vs a direct
+    numpy argsort over the same (distance, id) order — including heavy
+    hash ties (dup_every clones hashes) and query ids present/absent
+    from the item side (self-exclusion by id)."""
+    from kaza_lcms_spark.operators.knn import _knn_block_xq
+
+    rng = np.random.default_rng(seed)
+    i_ids = np.sort(rng.choice(10_000, size=ni, replace=False)).astype(np.int64)
+    # queries: some overlap the item id space, the rest are foreign
+    n_over = min(max(1, nq // 2), ni)
+    q_ids = np.concatenate([
+        rng.choice(i_ids, size=n_over, replace=False),
+        rng.choice(np.arange(10_000, 10_000 + nq), size=nq - n_over,
+                   replace=False)]).astype(np.int64)
+    pool = rng.integers(0, 2**62, size=max(1, ni // dup_every), dtype=np.int64)
+    i_h = pool[rng.integers(0, len(pool), size=ni)]
+    q_h = pool[rng.integers(0, len(pool), size=nq)]
+
+    out = _knn_block_xq(q_ids, q_h, i_ids, i_h, k, "qid")
+    got = {}
+    import pandas as pd
+    res = pd.concat(out) if out else pd.DataFrame(
+        {"qid": [], "neighbor_id": [], "hamming": []})
+    for r in res.itertuples():
+        got.setdefault(r.qid, []).append((r.hamming, r.neighbor_id))
+
+    for qi, qh in zip(q_ids, q_h):
+        d = codec.hamming64(i_h, np.full(ni, qh, dtype=np.int64)).astype(np.int64)
+        mask = i_ids != qi
+        cand = sorted(zip(d[mask], i_ids[mask]))[:k]
+        want = [(int(dd), int(ii)) for dd, ii in cand]
+        assert sorted(got.get(qi, [])) == want, (qi, k)
