@@ -157,6 +157,48 @@ class Catalog:
                              f"{'selected partitions' if partitions else 'any partition'}")
         return spark.read.parquet(*files)
 
+    # ------------------------------------------------------- maintenance
+
+    def vacuum(self, name: str, dry_run: bool = False) -> dict:
+        """Delete orphaned data files — files on disk that NO snapshot
+        manifest references (the Iceberg ``remove_orphan_files`` analog).
+        Orphans come from crashed writes: a run that died between the
+        parquet write and the manifest commit leaves its uuid directory
+        behind, invisible to readers but consuming storage forever.
+
+        Every file named by ANY retained snapshot is kept, so time
+        travel to historical snapshots still reproduces them exactly.
+        Returns ``{"removed": n, "kept": n, "bytes_reclaimed": b}``;
+        ``dry_run`` reports without deleting."""
+        mdir = os.path.join(self._tdir(name), "metadata")
+        referenced: set[str] = set()
+        if os.path.isdir(mdir):
+            for fn in os.listdir(mdir):
+                if fn.startswith("snapshot-") and fn.endswith(".json"):
+                    with open(os.path.join(mdir, fn)) as f:
+                        m = json.load(f)
+                    for p in m["partitions"].values():
+                        referenced.update(os.path.abspath(x) for x in p["files"])
+        ddir = os.path.join(self._tdir(name), "data")
+        removed = kept = reclaimed = 0
+        for dirpath, _dirs, files in os.walk(ddir):
+            for fn in files:
+                full = os.path.abspath(os.path.join(dirpath, fn))
+                if full in referenced:
+                    kept += 1
+                    continue
+                removed += 1
+                reclaimed += os.path.getsize(full)
+                if not dry_run:
+                    os.remove(full)
+        if not dry_run:
+            # prune now-empty uuid dirs bottom-up (keep the table root)
+            for dirpath, dirs, files in os.walk(ddir, topdown=False):
+                if dirpath != ddir and not dirs and not files:
+                    os.rmdir(dirpath)
+        return {"removed": removed, "kept": kept,
+                "bytes_reclaimed": reclaimed}
+
     # ------------------------------------------------------------ writes
 
     def _partition_values(self, df: DataFrame, partition_col: str) -> list:

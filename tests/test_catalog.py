@@ -234,3 +234,38 @@ def test_partition_values_survive_stringification(spark, tmp_path):
          .alias("pt"))
     with pytest.raises(ValueError, match="collide"):
         cat.write_partitioned(spark, clash, "t_clash", "pt")
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    """vacuum deletes files no snapshot references (a write that died
+    before its manifest commit) and keeps every snapshot-referenced
+    file — time travel to the pre-append snapshot still reproduces it."""
+    from pyspark.sql import functions as F
+
+    from kaza_lcms_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat_vac"))
+    df = spark.range(20).select(F.col("id"), (F.col("id") % 2).alias("pt"))
+    cat.write_partitioned(spark, df, "t", "pt")
+    cat.append_batch(spark, df, "t", "pt", batch_id=0)
+    snap1_rows = cat.read_table(spark, "t", snapshot=1).count()
+
+    # a crashed write: files on disk, no manifest commit
+    orphan_files, n, _ = cat._write_partition(
+        spark, df.where(F.col("pt") == 0), "t", "pt", 0, "0")
+    assert n == 10 and all(__import__("os").path.exists(f) for f in orphan_files)
+
+    dry = cat.vacuum("t", dry_run=True)
+    assert dry["removed"] >= len(orphan_files)
+    assert all(__import__("os").path.exists(f) for f in orphan_files)
+
+    res = cat.vacuum("t")
+    assert res["removed"] == dry["removed"]
+    assert res["bytes_reclaimed"] > 0
+    assert not any(__import__("os").path.exists(f) for f in orphan_files)
+
+    # committed data intact at CURRENT and at the historical snapshot
+    assert cat.read_table(spark, "t").count() == 40
+    assert cat.read_table(spark, "t", snapshot=1).count() == snap1_rows
+    # idempotent: second vacuum finds nothing (sidecars already gone)
+    assert cat.vacuum("t")["removed"] == 0
