@@ -103,6 +103,10 @@ def main() -> None:
         partitions_per_commit=args.partitions_per_commit,
         fail_after=args.fail_after)
     n = cat.read_table(spark, args.table).count()
+    # reclaim any orphaned files a previously crashed attempt left
+    # behind (invisible to readers; vacuum keeps every snapshot-
+    # referenced file, so time travel is unaffected)
+    vac = cat.vacuum(args.table)
 
     # 05 + Step 6: accuracy + AREA2 stratified area estimation. A
     # coverage mismatch (a predicted stratum with zero test points —
@@ -115,6 +119,7 @@ def main() -> None:
         "rows_committed": n,
         "partitions_written": res["written"],
         "partitions_skipped": res["skipped"],
+        "orphan_bytes_reclaimed": vac["bytes_reclaimed"],
         "n_features": len(feature_cols),
         "n_train": train.count(), "n_test": test.count(),
         "overall_acc": round(overall, 4),
