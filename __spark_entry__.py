@@ -1523,6 +1523,14 @@ def oracle_sql() -> dict[str, str]:
                                  * (1 - COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE))
                                  / (s.n_h - 1))
                             ELSE 0.0 END AS users_se,
+                       -- diagonal variance term, same expression shape
+                       -- as the vsum terms (never SE squared back)
+                       CASE WHEN s.n_h > 1
+                            THEN s.w_own * s.w_own
+                                 * (COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE))
+                                 * (1 - COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE))
+                                 / (s.n_h - 1)
+                            ELSE 0.0 END AS vdiag,
                        s.w_own * (COALESCE(d.n_hk, 0) / CAST(s.n_h AS DOUBLE)) AS oa_term,
                        s.w_own
                 FROM strata s LEFT JOIN dcell d USING (class)),
@@ -1532,7 +1540,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0.0 END) AS vsum
                   FROM j GROUP BY 1),
             oa AS (SELECT SUM(oa_term) AS overall_acc,
-                          SQRT(SUM(POWER(w_own * users_se, 2))) AS overall_se
+                          SQRT(SUM(vdiag)) AS overall_se
                    FROM diag),
             -- Olofsson 2014 eq. 7 pieces: pacc = P̂_k; vdiag = the h = k
             -- variance term (= (W_k·SE(Û_k))²); off-diag = vsum − vdiag
@@ -1542,7 +1550,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN p.p_hat > 0
                             THEN diag.w_own * diag.users_acc / p.p_hat
                             END AS pacc,
-                       POWER(diag.w_own * diag.users_se, 2) AS vdiag
+                       diag.vdiag
                 FROM p FULL JOIN diag USING (class))
             SELECT class, {r6('x.users_acc')} AS users_acc,
                    {r6('x.users_se')} AS users_se,

@@ -26,10 +26,14 @@ Olofsson / Stehman design-based stratified estimator (Olofsson et al.
   ``V(Ô) = Σ_h W_h²·q_hh(1−q_hh)/(n_h−1)``
 
 Two algebraic identities keep the SQL small: the ``h = k`` diagonal term
-of the ``p̂_k`` variance sum equals ``(W_k·SE(Û_k))²``, and the overall
-variance is ``Σ_h (W_h·SE(Û_h))²`` — so producer's and overall SEs need
-only the per-class variance sum already computed for the area estimate
-plus the user's-accuracy SE.
+of the ``p̂_k`` variance sum is the stratum's own variance term
+``W_k²·q_kk(1−q_kk)/(n_k−1)`` (algebraically ``(W_k·SE(Û_k))²``), and
+the overall variance is the sum of those diagonal terms — so producer's
+and overall SEs need only the per-class variance sum already computed
+for the area estimate plus one per-stratum column. The diagonal term is
+computed with the same expression shape as the sum's terms (never by
+squaring the SE's square root) so the off-diagonal subtraction cancels
+exactly for classes with no off-diagonal variance.
 
 Everything is plain SQL over two tiny aggregates (the sample confusion
 matrix and the stratum pixel totals), so at 100 TB the only full-data
@@ -165,6 +169,16 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
     dcell = (j.where(F.col(map_col) == F.col(ref_col))
              .select(F.col(map_col).alias("class"), "n_hk"))
     qd = F.coalesce(F.col("n_hk"), F.lit(0)) / F.col("n_h")
+    # vdiag = the h = k term of the p̂_k variance sum, built with the
+    # SAME expression shape as the vsum terms below (w·w·q·(1−q)/(n−1)),
+    # NOT as (w·SE(Û))² — squaring the sqrt loses ulps, and the
+    # off-diagonal subtraction vsum − vdiag must cancel exactly when a
+    # class has no off-diagonal variance (else a should-be-zero
+    # producer's SE surfaces as ~1e-9 noise; hypothesis-caught)
+    vdiag_expr = F.when(
+        F.col("n_h") > 1,
+        F.col("w_own") * F.col("w_own") * qd * (F.lit(1.0) - qd)
+        / (F.col("n_h") - 1)).otherwise(F.lit(0.0))
     diag = (strata.join(dcell, "class", "left")
             .select("class",
                     qd.alias("users_acc"),
@@ -172,6 +186,7 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
                            F.sqrt(qd * (F.lit(1.0) - qd) / (F.col("n_h") - 1)))
                     .otherwise(F.lit(0.0)).alias("users_se"),
                     (F.col("w_own") * qd).alias("oa_term"),
+                    vdiag_expr.alias("vdiag"),
                     "w_own"))
     # p̂_k per reference class (producer's-accuracy denominator), plus its
     # full variance sum Σ_h W_h²·q_hk(1−q_hk)/(n_h−1) — the h = k term is
@@ -184,17 +199,15 @@ def stratified_accuracy(sample: DataFrame, weights: DataFrame,
                       (F.col("w") * q).alias("term"), var_term.alias("vterm"))
              .groupBy("class").agg(F.sum("term").alias("p_hat"),
                                    F.sum("vterm").alias("vsum")))
-    # V(Ô) = Σ_h W_h²·q_hh(1−q_hh)/(n_h−1) = Σ_h (W_h·SE(Û_h))²
-    oa_var = F.pow(F.col("w_own") * F.col("users_se"), 2)
+    # V(Ô) = Σ_h W_h²·q_hh(1−q_hh)/(n_h−1) — the vdiag terms directly
     oa = diag.agg(F.sum("oa_term").alias("overall_acc"),
-                  F.sqrt(F.sum(oa_var)).alias("overall_se"))
+                  F.sqrt(F.sum("vdiag")).alias("overall_se"))
     # full outer: a class can be reference-only (users NULL) or map-only
     # (an all-wrong stratum — producers NULL, users an observed 0)
     pacc = F.when(F.col("p_hat") > 0,
                   F.col("w_own") * F.col("users_acc") / F.col("p_hat"))
-    vdiag = F.pow(F.col("w_own") * F.col("users_se"), 2)
-    off_diag = F.greatest(F.col("vsum") - vdiag, F.lit(0.0))
-    p_se = F.sqrt(F.pow(F.lit(1.0) - pacc, 2) * vdiag
+    off_diag = F.greatest(F.col("vsum") - F.col("vdiag"), F.lit(0.0))
+    p_se = F.sqrt(F.pow(F.lit(1.0) - pacc, 2) * F.col("vdiag")
                   + F.pow(pacc, 2) * off_diag) / F.col("p_hat")
     return (p_hat.join(diag, "class", "full")
             .crossJoin(F.broadcast(oa))

@@ -214,3 +214,47 @@ def test_coverage_guard_raises_on_unsampled_stratum(spark):
     got = {r["class"]: r["p_hat"] for r in A.stratified_area_estimate(
         sample, weights, check_coverage=False).collect()}
     assert sum(got.values()) == pytest.approx(0.8, abs=1e-12)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(2, 5), st.integers(0, 2**31 - 1), st.integers(0, 2))
+@settings(max_examples=10, deadline=None)
+def test_estimator_matches_numpy_on_random_tables(spark, k, seed, sparsity):
+    """Hypothesis sweep: random confusion tables — including singleton
+    strata (n_h == 1), all-wrong strata (zero diagonal), and sparse
+    cells — must match both independent numpy implementations on every
+    emitted column."""
+    rng = np.random.default_rng(seed)
+    n_hk = rng.integers(0, 12, size=(k, k))
+    n_hk[n_hk < sparsity * 3] = 0                    # punch holes
+    for h in range(k):                               # every stratum sampled
+        if n_hk[h].sum() == 0:
+            n_hk[h, rng.integers(0, k)] = 1
+    for j in range(k):                               # every class observed
+        if n_hk[:, j].sum() == 0:
+            n_hk[rng.integers(0, k), j] = 1
+    pix = rng.integers(100, 10_000, size=k)
+    w = pix / pix.sum()
+
+    rows = [(h, r) for h in range(k) for r in range(k)
+            for _ in range(int(n_hk[h, r]))]
+    sdf = _sample_df(spark, rows)
+    wdf = _weights_df(spark, {h: float(w[h]) for h in range(k)})
+    est = {r["class"]: r for r in
+           A.stratified_area_estimate(sdf, wdf).collect()}
+    acc = {r["class"]: r for r in A.stratified_accuracy(sdf, wdf).collect()}
+
+    p_hat, se = _numpy_olofsson(n_hk, w)
+    p_acc, p_se, oa, oa_se = _numpy_accuracy_ses(n_hk, w)
+    for c in range(k):
+        assert est[c]["p_hat"] == pytest.approx(p_hat[c], rel=1e-12)
+        assert est[c]["se"] == pytest.approx(se[c], rel=1e-12, abs=1e-15)
+        assert acc[c]["producers_acc"] == pytest.approx(p_acc[c], rel=1e-12)
+        assert acc[c]["producers_se"] == pytest.approx(p_se[c], rel=1e-12,
+                                                      abs=1e-15)
+        assert acc[c]["overall_acc"] == pytest.approx(oa, rel=1e-12)
+        assert acc[c]["overall_se"] == pytest.approx(oa_se, rel=1e-12,
+                                                    abs=1e-15)
