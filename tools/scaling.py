@@ -212,8 +212,10 @@ def main() -> None:
         "Repeated clean runs of the pinned 2→8 flagship give efficiencies",
         "of 0.80-0.99; ambient VM load shifts any single measurement by up",
         "to ±0.1, and any concurrent Spark job contaminates the pinned",
-        "phases. Regenerate on an idle box: `python tools/scaling.py`,",
-        "then `python tools/scale_probe.py` for the 1M-image appendix.",
+        "phases. Regenerate on an idle box: `python tools/scaling.py`",
+        "first (it overwrites this file), then each probe appendix one",
+        "at a time: scale_probe, layout_probe, skew_probe, ann_probe,",
+        "rf_probe, thin_probe, resume_probe.",
     ]
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
