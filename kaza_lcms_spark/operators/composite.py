@@ -21,18 +21,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 
+def _pct_array(pcts: tuple[float, ...]) -> F.Column:
+    return F.array(*[F.lit(p) for p in pcts])
+
+
 def percentile_composite(df: DataFrame, group_col: str, band_cols: list[str],
                          pcts: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9)
                          ) -> DataFrame:
     """Exact interpolated percentiles per group per band; output columns
     p{pct}_{band} (reference band naming 'p20_blue' style,
-    src/utils/covariates.py:261-274)."""
-    aggs = []
-    for b in band_cols:
-        for p in pcts:
-            name = f"p{int(p * 100)}_{b}"
-            aggs.append(F.percentile(F.col(b), F.lit(p)).alias(name))
-    return df.groupBy(group_col).agg(*aggs)
+    src/utils/covariates.py:261-274).
+
+    One array-form `percentile(col, array(p...))` agg per band, unpacked
+    after the agg: the scalar form buffers and sorts each band's values
+    once PER PERCENTILE (5× the agg state and 5 sorts per group per
+    band); the array form buffers and sorts once and reads all
+    percentiles off the same sorted buffer — identical values."""
+    aggs = [F.percentile(F.col(b), _pct_array(pcts)).alias(f"_ps_{b}")
+            for b in band_cols]
+    g = df.groupBy(group_col).agg(*aggs)
+    outs = [F.col(f"_ps_{b}")[i].alias(f"p{int(p * 100)}_{b}")
+            for b in band_cols for i, p in enumerate(pcts)]
+    return g.select(group_col, *outs)
 
 
 def percentile_composite_approx(df: DataFrame, group_col: str,
@@ -44,14 +54,17 @@ def percentile_composite_approx(df: DataFrame, group_col: str,
     sketch merges map-side, so memory per group is O(accuracy) instead of
     O(rows) — at 100 TB the exact `percentile` buffers every value of a
     group on one reducer, the sketch does not. Error ≤ 1/accuracy of rank
-    (tested against the exact composite)."""
-    aggs = []
-    for b in band_cols:
-        for p in pcts:
-            name = f"p{int(p * 100)}_{b}"
-            aggs.append(
-                F.percentile_approx(F.col(b), F.lit(p), F.lit(accuracy)).alias(name))
-    return df.groupBy(group_col).agg(*aggs)
+    (tested against the exact composite).
+
+    Array-form sketch: ONE Greenwald-Khanna summary per band queried at
+    every percentile, instead of building `len(pcts)` identical sketches
+    over the same values — identical results, ~1/len(pcts) the agg work."""
+    aggs = [F.percentile_approx(F.col(b), _pct_array(pcts), F.lit(accuracy))
+            .alias(f"_ps_{b}") for b in band_cols]
+    g = df.groupBy(group_col).agg(*aggs)
+    outs = [F.col(f"_ps_{b}")[i].alias(f"p{int(p * 100)}_{b}")
+            for b in band_cols for i, p in enumerate(pcts)]
+    return g.select(group_col, *outs)
 
 
 def mean_composite(df: DataFrame, group_col: str, band_cols: list[str]) -> DataFrame:
@@ -165,17 +178,22 @@ def percentile_harmonic_composite(df: DataFrame, group_col: str,
     harmonic columns, matching the unfused left join."""
     w = 2.0 * np.pi / period
     t = F.col(t_col)
-    xs = [F.lit(1.0), t, F.cos(F.lit(w) * t), F.sin(F.lit(w) * t)]
+    # project the trig terms ONCE per row (codegen'd, below the agg):
+    # inlining cos/sin into every sufficient-statistic agg expression
+    # re-evaluates them up to 7× per row inside the non-codegen
+    # ObjectHashAggregate the percentile agg forces
+    df = df.withColumn("_hcos", F.cos(F.lit(w) * t)) \
+           .withColumn("_hsin", F.sin(F.lit(w) * t))
+    xs = [F.lit(1.0), t, F.col("_hcos"), F.col("_hsin")]
     names = ["c", "t", "cos", "sin"]
     y_cols = [y_col] if isinstance(y_col, str) else list(y_col)
     sfx = {y: "" if isinstance(y_col, str) else f"_{y}" for y in y_cols}
     pct_f = F.percentile_approx if approx else F.percentile
     pct_args = (F.lit(accuracy),) if approx else ()
-    aggs = []
-    for b in band_cols:
-        for p in pcts:
-            aggs.append(pct_f(F.col(b), F.lit(p), *pct_args)
-                        .alias(f"p{int(p*100)}_{b}"))
+    # array-form percentiles: one buffer/sketch per band (see
+    # percentile_composite), unpacked right after the agg
+    aggs = [pct_f(F.col(b), _pct_array(pcts), *pct_args).alias(f"_ps_{b}")
+            for b in band_cols]
     for y in y_cols:
         valid = F.col(y).isNotNull() & t.isNotNull()
         for i in range(4):
@@ -185,6 +203,11 @@ def percentile_harmonic_composite(df: DataFrame, group_col: str,
             aggs.append(F.sum(F.when(valid, xs[i] * F.col(y)))
                         .alias(f"_b{sfx[y]}_{i}"))
     g = df.groupBy(group_col).agg(*aggs)
+    g = g.select(
+        group_col,
+        *[F.col(f"_ps_{b}")[i].alias(f"p{int(p*100)}_{b}")
+          for b in band_cols for i, p in enumerate(pcts)],
+        *[c for c in g.columns if c.startswith(("_g", "_b"))])
 
     pct_cols = [f"p{int(p*100)}_{b}" for b in band_cols for p in pcts]
     harm_cols = [c for y in y_cols

@@ -130,20 +130,45 @@ def open_grow_tiled(cells: DataFrame, mask_col: str,
         + [StructField("tx", LongType()), StructField("ty", LongType())])
 
     def replicate(it):
+        # Emit each row's DISTINCT halo tiles arithmetically instead of 9
+        # full copies + drop_duplicates over 9n rows: the distinct tile
+        # set of the 3×3 offsets is {X(dx)}×{Y(dy)} with X(±1) ≠ tx only
+        # within `halo` of a tile edge — so it's one full home copy plus
+        # tiny edge/corner slices (~1.1× rows at tile 64, halo 2), with
+        # no dedup pass. Identical (row, tile) pairs as the old emit.
         for b in it:
             if not len(b):
                 continue
             ix = b[ix_col].to_numpy()
             iy = b[iy_col].to_numpy()
-            outs = []
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    rep = b.copy()
-                    rep["tx"] = (ix + dx * halo) >> tile_bits
-                    rep["ty"] = (iy + dy * halo) >> tile_bits
+            tx0, ty0 = ix >> tile_bits, iy >> tile_bits
+            home = b.copy()
+            home["tx"], home["ty"] = tx0, ty0
+            outs = [home]
+            xs = {dx: (ix + dx * halo) >> tile_bits for dx in (-1, 1)}
+            ys = {dy: (iy + dy * halo) >> tile_bits for dy in (-1, 1)}
+            xm = {dx: xs[dx] != tx0 for dx in (-1, 1)}
+            ym = {dy: ys[dy] != ty0 for dy in (-1, 1)}
+            for dx in (-1, 1):                       # left/right edges
+                sel = np.flatnonzero(xm[dx])
+                if len(sel):
+                    rep = b.iloc[sel].copy()
+                    rep["tx"], rep["ty"] = xs[dx][sel], ty0[sel]
                     outs.append(rep)
-            yield (pd.concat(outs)
-                   .drop_duplicates(gcols + [ix_col, iy_col, "tx", "ty"]))
+            for dy in (-1, 1):                       # top/bottom edges
+                sel = np.flatnonzero(ym[dy])
+                if len(sel):
+                    rep = b.iloc[sel].copy()
+                    rep["tx"], rep["ty"] = tx0[sel], ys[dy][sel]
+                    outs.append(rep)
+            for dx in (-1, 1):                       # corners
+                for dy in (-1, 1):
+                    sel = np.flatnonzero(xm[dx] & ym[dy])
+                    if len(sel):
+                        rep = b.iloc[sel].copy()
+                        rep["tx"], rep["ty"] = xs[dx][sel], ys[dy][sel]
+                        outs.append(rep)
+            yield pd.concat(outs) if len(outs) > 1 else home
 
     def _minmax(a: np.ndarray, r: int, op) -> np.ndarray:
         """Separable square min/max filter, zero-padded ('absent = 0')."""
