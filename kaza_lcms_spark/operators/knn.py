@@ -675,6 +675,15 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
     """
     from ..plans import salting as SALT
 
+    # Narrow to the three columns every branch needs (the routing
+    # histogram, the hot-cell toPandas, and the cold/hot/mega outputs
+    # each re-derive the input subtree; a narrow projection keeps those
+    # recomputes to the columns the kNN actually uses). An eager
+    # localCheckpoint here was measured SLOWER (2.1 s → 3.5 s on the
+    # bench corpus): the serial materialization wave costs more than the
+    # overlapped recomputes it saves.
+    points = points.select(cell_col, id_col, hash_col)
+
     out_schema = StructType([
         StructField(id_col, points.schema[id_col].dataType),
         StructField("neighbor_id", points.schema[id_col].dataType),

@@ -85,16 +85,58 @@ def with_footprint(df: DataFrame, id_col: str = "image_id") -> DataFrame:
               .drop("_fp"))
 
 
+_SPREAD_MASKS = (0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F,
+                 0x3333333333333333, 0x5555555555555555)
+_SPREAD_SHIFTS = (16, 8, 4, 2, 1)
+
+
+def attach_cell(df: DataFrame, level: int,
+                lon_col: str = "lon", lat_col: str = "lat",
+                out_col: str = "cell_id") -> DataFrame:
+    """Attach the Morton cell id at `level` as pure JVM column algebra —
+    bit-identical to kernels.grid.encode (same quantize → clip → magic
+    interleave arithmetic, all exact IEEE ops: add/div/mul/floor; the
+    oracle-gated cell_morton query proves the SQL form of this formula
+    against the numpy kernel; test_cell_expr_matches_numpy_encode covers
+    clip edges). Replaces the old pandas-UDF encode: the cell attach is
+    on every spatial input chain and a codegen expression costs no
+    Python worker round-trip.
+
+    Each spread step lands in its OWN projection (withColumn), because
+    the step references its input twice (v | v<<s): inlining the chain
+    as one Column doubles the subtree per step — 2⁵× the upstream
+    expression — which was measured to push the distance-join stage into
+    interpreted evaluation (0.69 s → 1.0 s). Step-wise temp columns keep
+    the tree linear; Catalyst leaves such projects uncollapsed
+    (CollapseProject skips duplicating non-cheap expressions)."""
+    nf = float(1 << level)
+    ax, ay = f"_mx_{out_col}", f"_my_{out_col}"
+    qx = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(nf))
+    qy = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * F.lit(nf))
+    df = df.withColumn(
+        ax, F.least(F.greatest(qx, F.lit(0.0)), F.lit(nf - 1.0)).cast("long")
+            .bitwiseAND(F.lit(0xFFFFFFFF))) \
+           .withColumn(
+        ay, F.least(F.greatest(qy, F.lit(0.0)), F.lit(nf - 1.0)).cast("long")
+            .bitwiseAND(F.lit(0xFFFFFFFF)))
+    for s, m in zip(_SPREAD_SHIFTS, _SPREAD_MASKS):
+        df = df.withColumn(
+            ax, F.col(ax).bitwiseOR(F.shiftleft(F.col(ax), s))
+                .bitwiseAND(F.lit(m))) \
+               .withColumn(
+            ay, F.col(ay).bitwiseOR(F.shiftleft(F.col(ay), s))
+                .bitwiseAND(F.lit(m)))
+    morton = F.col(ax).bitwiseOR(F.shiftleft(F.col(ay), 1))
+    return (df.withColumn(out_col,
+                          F.shiftleft(morton, 5).bitwiseOR(F.lit(level)))
+            .drop(ax, ay))
+
+
 def with_cell(df: DataFrame, level: int = FINE_LEVEL,
               lon_col: str = "lon", lat_col: str = "lat",
               out_col: str = "cell_id") -> DataFrame:
-    """Attach the Morton cell id at `level` (vectorized pandas UDF)."""
-
-    @F.pandas_udf(LongType())
-    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), level))
-
-    return df.withColumn(out_col, enc(F.col(lon_col), F.col(lat_col)))
+    """Attach the Morton cell id at `level` (JVM column algebra)."""
+    return attach_cell(df, level, lon_col, lat_col, out_col)
 
 
 # --------------------------------------------------------------- poly loading
@@ -356,6 +398,14 @@ def distance_join(points_df: DataFrame, radius_deg: float,
 
     lvl = cell_level
 
+    # NOTE: this encode stays a pandas UDF deliberately (r6): the JVM
+    # morton algebra (attach_cell) was measured SLOWER here (0.69 s ->
+    # 1.1 s at sf0.1) — the inner join's inferred isnotnull(cell) filter
+    # gets pushed through the projections and re-inlines the whole
+    # spread chain over the derived lon/lat into a ~16 KB per-row filter
+    # expression; the Python-eval node is a pushdown barrier that keeps
+    # the plan small. with_cell (kNN path) has the footprint UDF as its
+    # barrier, so the JVM encode wins there.
     @F.pandas_udf(LongType())
     def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), lvl))
@@ -510,6 +560,14 @@ def thin_points(points_df: DataFrame, radius_deg: float,
     cell_level = max(0, min(24, int(np.floor(np.log2(180.0 / max(radius_deg, 1e-9))))))
     lvl = cell_level
 
+    # NOTE: this encode stays a pandas UDF deliberately (r6): the JVM
+    # morton algebra (attach_cell) was measured SLOWER here (0.69 s ->
+    # 1.1 s at sf0.1) — the inner join's inferred isnotnull(cell) filter
+    # gets pushed through the projections and re-inlines the whole
+    # spread chain over the derived lon/lat into a ~16 KB per-row filter
+    # expression; the Python-eval node is a pushdown barrier that keeps
+    # the plan small. with_cell (kNN path) has the footprint UDF as its
+    # barrier, so the JVM encode wins there.
     @F.pandas_udf(LongType())
     def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), lvl))

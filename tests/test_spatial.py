@@ -233,3 +233,23 @@ def test_assign_tiles_concave_polygons(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="not strictly convex"):
         sj.assign_tiles_codegen(pdf, pi)
+
+
+def test_cell_expr_matches_numpy_encode(spark):
+    """r6 optimization: with_cell became a JVM column expression — it
+    must reproduce kernels.grid.encode bit-for-bit, including clip
+    boundaries and out-of-range coordinates."""
+    from kaza_lcms_spark.kernels import grid
+
+    rng = np.random.default_rng(7)
+    lon = np.concatenate([rng.uniform(-200, 200, 5000),
+                          [-180.0, 180.0, 0.0, -1e-12, 179.9999999999]])
+    lat = np.concatenate([rng.uniform(-100, 100, 5000),
+                          [-90.0, 90.0, 0.0, -1e-12, 89.9999999999]])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double")
+    for level in (0, 8, 10, 14, 24, 27):
+        got = np.array([r[0] for r in
+                        sj.with_cell(df, level).select("cell_id").collect()])
+        want = grid.encode(lon, lat, level)
+        assert (got == want).all(), f"level {level} mismatch"
