@@ -136,6 +136,20 @@ def fit_prims(train: DataFrame, feature_cols: list[str],
         classes = [r[0] for r in
                    train.select(label_col).distinct().orderBy(label_col).collect()]
 
+    # RF tree growth is a sequence of driver-synchronized jobs (one per
+    # depth level per node group); on a finely partitioned small training
+    # table the per-job task scheduling dominates the fit (measured on
+    # the bench table, 4000 rows × 32 partitions → 4: concurrency-4
+    # stage 4.96 s → 3.36 s, sequential 10.1 s → 7.5 s). Right-size to
+    # ≥ ~1000 rows per partition, never increasing the partition count —
+    # scale-adaptive (a big table keeps its parallelism), and identical
+    # for every class/arm so sequential vs concurrent stay comparable.
+    n_rows = train.count()
+    cur = train.rdd.getNumPartitions()
+    target = max(1, min(cur, -(-n_rows // 1000)))
+    if target < cur:
+        train = train.coalesce(target)
+
     sc = train.sparkSession.sparkContext
 
     def fit_one(ic):
