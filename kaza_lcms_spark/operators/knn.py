@@ -123,6 +123,19 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
     cosine_topk_ivf. Ties break (−cos, neighbor_id) exactly: each block
     kernel fully lexsorts its candidates, and the merge window repeats
     the same ordering."""
+    # Small-corpus parallelism: a corpus below block_rows rows in few
+    # partitions packs into ONE block pair — the whole grid runs on one
+    # task. Split such inputs into ~sqrt(2·parallelism) blocks per side
+    # (≈ 2·cores pairs) so the matmuls spread; output is block-size
+    # invariant (exact per-pair top-k + global window merge, tested).
+    # Large corpora (n > block_rows · parallelism) keep their natural
+    # blocking — this branch never fires at scale.
+    par = spark.sparkContext.defaultParallelism
+    n = emb.count()
+    if n <= block_rows * par:
+        target = max(1, min(int(np.ceil(np.sqrt(2.0 * par))), -(-n // 256)))
+        block_rows = max(256, -(-n // target))
+        emb = emb.repartition(target)
     qb = _pack_blocks(emb, id_col, vec_col, "q", block_rows)
     ib = _pack_blocks(emb, id_col, vec_col, "i", block_rows)
     pairs = qb.crossJoin(F.broadcast(ib))
@@ -146,13 +159,26 @@ def cosine_topk_blocked(spark: SparkSession, emb: DataFrame, k: int = 5,
             # oracle evaluate — bit-identical (r3 advice item #1)
             sims = _round4(Q @ M.T)
             sims[qids[:, None] == iids[None, :]] = -np.inf   # exclude self
-            kk = min(k, sims.shape[1])
-            for r in range(len(qids)):
-                order = np.lexsort((iids, -sims[r]))[:kk]    # exact tie-break
-                keep = sims[r, order] > -np.inf
-                outs.append(pd.DataFrame({
-                    "vec_id": qids[r], "neighbor_id": iids[order][keep],
-                    "cos": sims[r, order][keep]}))
+            b, n = sims.shape
+            kk = min(k, n)
+            # vectorized top-k with exact ties: per-row k-th-largest
+            # threshold (np.partition), candidates = everything >= it
+            # (boundary ties included), ONE lexsort over the candidate
+            # set by (row, -cos, neighbor id), keep the first kk per row
+            # — identical output to the old per-row np.lexsort loop
+            # (same total order), without b Python-loop lexsorts of
+            # n-wide rows per block pair
+            thr = np.partition(sims, n - kk, axis=1)[:, n - kk]
+            rr, cc = np.nonzero(sims >= thr[:, None])
+            vv = sims[rr, cc]
+            order = np.lexsort((iids[cc], -vv, rr))          # rr stays sorted
+            rr, cc, vv = rr[order], cc[order], vv[order]
+            starts = np.searchsorted(rr, np.arange(b))
+            pos = np.arange(len(rr)) - starts[rr]
+            sel = (pos < kk) & (vv > -np.inf)
+            outs.append(pd.DataFrame({
+                "vec_id": qids[rr[sel]], "neighbor_id": iids[cc[sel]],
+                "cos": vv[sel]}))
         if not outs:
             return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []})
         return pd.concat(outs)
