@@ -98,6 +98,49 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     return px, _FMT_NAME[code]
 
 
+def decode_batch(blobs) -> tuple[list, list]:
+    """Decode a batch of encoded images -> (pixels list, fmt-name list).
+
+    Bit-identical to per-image :func:`decode` (tested), but the RLE/quant
+    run expansion happens ONCE over each format group's concatenated
+    bodies instead of 3 tiny numpy calls per image — the per-image numpy
+    dispatch overhead dominates at 256-4096-byte payloads. Raw images
+    stay per-image (frombuffer is a no-copy view + reshape)."""
+    n = len(blobs)
+    pixels: list = [None] * n
+    fmts: list = [None] * n
+    rle_groups: dict[int, list[int]] = {FMT_RLE: [], FMT_QUANT: []}
+    metas = []
+    for i, data in enumerate(blobs):
+        if data[:2] != MAGIC:
+            raise ValueError("bad magic")
+        code, w, h = struct.unpack("<BII", data[2:11])
+        metas.append((code, w, h))
+        fmts[i] = _FMT_NAME[code]
+        if code == FMT_RAW:
+            pixels[i] = np.frombuffer(data, dtype=np.uint8,
+                                      offset=11).reshape(h, w)
+        elif code == FMT_RLE or code == FMT_QUANT:
+            rle_groups[code].append(i)
+        else:
+            raise ValueError(f"unknown fmt code {code}")
+    for code, idxs in rle_groups.items():
+        if not idxs:
+            continue
+        joined = b"".join(blobs[i][11:] for i in idxs)
+        runs = np.frombuffer(joined, dtype=np.uint8).reshape(-1, 2)
+        flat = np.repeat(runs[:, 1], runs[:, 0])
+        if code == FMT_QUANT:
+            flat = np.clip(np.round(flat.astype(np.float64) * _QSTEP),
+                           0, 255).astype(np.uint8)
+        off = 0
+        for i in idxs:
+            _, w, h = metas[i]
+            pixels[i] = flat[off:off + h * w].reshape(h, w)
+            off += h * w
+    return pixels, fmts
+
+
 def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic resize, pure numpy. Downscale: exact mean over the
     integer pixel box [floor(i·h/oh), floor((i+1)·h/oh)) per output cell

@@ -326,7 +326,19 @@ def zonal_counts_fused(spark: SparkSession, images_df: DataFrame,
     kernel emits per-batch partial (unit_id, n) aggregates (≤ |polygons|
     rows per batch instead of per-row output through Arrow), and a tiny
     final groupBy sums the partials. At 10¹² rows this is the difference
-    between shuffling 10¹² rows and shuffling |batches|·|units| rows."""
+    between shuffling 10¹² rows and shuffling |batches|·|units| rows.
+
+    Two r6 boundary optimizations (the kernel's numpy work is ~0.1 s of
+    a 2.5 s query; the JVM→Python Arrow boundary is the cost):
+    * the id string is parsed to its int64 index IN THE JVM
+      (substring+cast, codegen) so 8-byte ints cross the boundary
+      instead of 16-byte strings (measured −0.35 s / 5M rows; malformed
+      ids now raise Spark's ANSI cast error instead of taking the
+      Python fallback parse — the input contract guarantees the shape);
+    * the kernel stage coalesces to one task per core: per-task Python
+      round-trip overhead dominates a map whose output is ≤|units| rows,
+      so 96 input partitions × ~200 ms beats 32 × the same (measured
+      −0.6 s). coalesce never shuffles and never increases partitions."""
     bidx = spark.sparkContext.broadcast(index)
     cover = polygon_cover_cells(index, COARSE_LEVEL) if prefilter else None
     bcov = spark.sparkContext.broadcast(np.sort(cover)) if prefilter else None
@@ -335,14 +347,20 @@ def zonal_counts_fused(spark: SparkSession, images_df: DataFrame,
         StructField("unit_id", LongType()), StructField("n", LongType()),
     ])
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        # mapInArrow, not mapInPandas: converting 10⁶+ ids into pandas
+        # objects costs more than every numpy stage of the kernel
+        # combined; the int64 column views as numpy zero-copy.
+        import pyarrow as pa
+
         ix = bidx.value
         cov = bcov.value if bcov is not None else None
         acc: dict[int, int] = {}
-        for b in batches:
-            if not len(b):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            lon, lat = datagen.footprint_from_ids(parse_image_idx(b[id_col]))
+            pidx = rb.column(0).to_numpy(zero_copy_only=False)
+            lon, lat = datagen.footprint_from_ids(pidx)
             if cov is not None:
                 m = np.isin(grid.parent(grid.encode(lon, lat, fine_level),
                                         COARSE_LEVEL), cov)
@@ -352,9 +370,18 @@ def zonal_counts_fused(spark: SparkSession, images_df: DataFrame,
             for uu, cc in zip(u, c):
                 acc[int(uu)] = acc.get(int(uu), 0) + int(cc)
         if acc:
-            yield pd.DataFrame({"unit_id": list(acc), "n": list(acc.values())})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(acc), type=pa.int64()),
+                 pa.array([int(v) for v in acc.values()], type=pa.int64())],
+                ["unit_id", "n"])
 
-    partials = images_df.select(id_col).mapInPandas(kernel, out_schema)
+    # unconditional: coalesce never increases the partition count, and
+    # probing src.rdd.getNumPartitions() first costs a full extra
+    # physical-planning pass per invocation
+    src = images_df.select(
+        F.substring(F.col(id_col), 5, 12).cast("long").alias("_idx")) \
+        .coalesce(spark.sparkContext.defaultParallelism)
+    partials = src.mapInArrow(kernel, out_schema)
     return partials.groupBy("unit_id").agg(F.sum("n").alias("n"))
 
 

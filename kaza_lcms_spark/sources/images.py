@@ -56,9 +56,7 @@ def decode_stats(df: DataFrame) -> DataFrame:
             n = len(b)
             means = np.empty(n); stds = np.empty(n)
             ph = np.empty(n, dtype=np.int64)
-            pixels: list[np.ndarray] = [None] * n  # type: ignore[list-item]
-            for i, blob in enumerate(b["bytes"]):
-                pixels[i], _ = codec.decode(bytes(blob))
+            pixels, _ = codec.decode_batch(list(b["bytes"]))
             # group same-shaped images into stacks: stats + phash vectorize;
             # chunked and uint8/float32 to stay cache/bandwidth-friendly
             shapes = np.array([p.shape[0] * 100000 + p.shape[1] for p in pixels])
@@ -143,7 +141,7 @@ def resize_images(df: DataFrame, out_h: int, out_w: int,
             if not len(b):
                 continue
             n = len(b)
-            pixels = [codec.decode(bytes(blob))[0] for blob in b["bytes"]]
+            pixels, _ = codec.decode_batch(list(b["bytes"]))
             out_bytes: list[bytes] = [b""] * n
             shapes = np.array([p.shape[0] * 100000 + p.shape[1] for p in pixels])
             for s in np.unique(shapes):

@@ -253,3 +253,19 @@ def test_cell_expr_matches_numpy_encode(spark):
                         sj.with_cell(df, level).select("cell_id").collect()])
         want = grid.encode(lon, lat, level)
         assert (got == want).all(), f"level {level} mismatch"
+
+
+def test_decode_batch_matches_scalar(fixture_dir):
+    """r6 optimization: decode_stats moved to codec.decode_batch — it
+    must reproduce per-image codec.decode bit-for-bit across all fmts."""
+    import pyarrow.parquet as pq
+    from kaza_lcms_spark.kernels import codec
+    t = pq.read_table(fixture_dir + "/images.parquet").to_pandas().head(500)
+    blobs = [bytes(x) for x in t["bytes"]]
+    pxs, fmts = codec.decode_batch(blobs)
+    assert len(pxs) == len(blobs)
+    for blob, px, fmt in zip(blobs, pxs, fmts):
+        spx, sfmt = codec.decode(blob)
+        assert fmt == sfmt
+        assert px.dtype == spx.dtype and px.shape == spx.shape
+        assert (px == spx).all()
