@@ -744,8 +744,14 @@ def knn_per_cell(points: DataFrame, k: int, cell_col: str = "cell_id",
     mega_set = set(mega)
     hot = [c for c in hot if c not in mega_set]
     mega_df = points.where(F.col(cell_col).isin(mega)) if mega else None
+    # null-safe exclusion (r6 advice fix): ~isin(mega) evaluates to NULL
+    # for NULL cells, silently dropping them from the output only when a
+    # mega tier exists — with no mega tier the same rows flow to the
+    # cold path. Keep NULL-cell rows on the cold path explicitly (a NULL
+    # cell is never in the mega list).
     hot_df, cold_df = SALT.split_hot_cold(
-        points.where(~F.col(cell_col).isin(mega)) if mega else points,
+        points.where(~F.col(cell_col).isin(mega) | F.col(cell_col).isNull())
+        if mega else points,
         hot, cell_col)
     if spark is None:
         spark = points.sparkSession

@@ -44,12 +44,17 @@ def _allocation_file() -> str | None:
     except Exception:
         _ALLOC_FILE.append(None)
         return None
-    f = tempfile.NamedTemporaryFile(
-        mode="w", suffix="-fairscheduler.xml", delete=False)
-    f.write(text)
-    f.close()
-    _ALLOC_FILE.append(f.name)
-    return f.name
+    # deterministic per-user path, atomically replaced — reused across
+    # driver processes instead of leaking one NamedTemporaryFile per
+    # process (r6 advice fix)
+    path = os.path.join(
+        tempfile.gettempdir(), f"kaza-fairscheduler-{os.getuid()}.xml")
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+    _ALLOC_FILE.append(path)
+    return path
 
 
 def get_spark(

@@ -170,27 +170,50 @@ class Catalog:
         travel to historical snapshots still reproduces them exactly.
         Returns ``{"removed": n, "kept": n, "bytes_reclaimed": b}``;
         ``dry_run`` reports without deleting."""
+        # Manifest paths are stored as the writer built them (catalog
+        # root as given — possibly relative to the WRITER's CWD), so
+        # resolving them against THIS process's CWD (os.path.abspath)
+        # mis-classifies every committed file as orphaned when vacuum
+        # runs from a different directory or via a differently-spelled
+        # root. Every legitimate data file lives at
+        # data/<col>=<key>/<uuid>/<file> under the table dir ('=' in the
+        # partition component and hex uuids mean no component collides
+        # with 'data'), so compare on that 3-component suffix instead.
+        def _canon(p: str) -> tuple:
+            return tuple(os.path.normpath(p).split(os.sep)[-3:])
+
         mdir = os.path.join(self._tdir(name), "metadata")
-        referenced: set[str] = set()
+        referenced: set[tuple] = set()
         if os.path.isdir(mdir):
             for fn in os.listdir(mdir):
                 if fn.startswith("snapshot-") and fn.endswith(".json"):
                     with open(os.path.join(mdir, fn)) as f:
                         m = json.load(f)
                     for p in m["partitions"].values():
-                        referenced.update(os.path.abspath(x) for x in p["files"])
+                        referenced.update(_canon(x) for x in p["files"])
         ddir = os.path.join(self._tdir(name), "data")
         removed = kept = reclaimed = 0
+        orphans: list[str] = []
         for dirpath, _dirs, files in os.walk(ddir):
             for fn in files:
-                full = os.path.abspath(os.path.join(dirpath, fn))
-                if full in referenced:
+                full = os.path.join(dirpath, fn)
+                if _canon(full) in referenced:
                     kept += 1
                     continue
                 removed += 1
                 reclaimed += os.path.getsize(full)
-                if not dry_run:
-                    os.remove(full)
+                orphans.append(full)
+        if referenced and removed and not kept:
+            # a committed table whose referenced set matches NOTHING on
+            # disk means the path comparison itself is broken — deleting
+            # here would drop every committed file. Refuse loudly.
+            raise RuntimeError(
+                f"vacuum({name!r}): {len(referenced)} referenced files "
+                f"match zero files on disk — refusing to delete "
+                f"{removed} candidates (path scheme mismatch?)")
+        if not dry_run:
+            for full in orphans:
+                os.remove(full)
         if not dry_run:
             # prune now-empty uuid dirs bottom-up (keep the table root)
             for dirpath, dirs, files in os.walk(ddir, topdown=False):

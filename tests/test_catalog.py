@@ -269,3 +269,28 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     assert cat.read_table(spark, "t", snapshot=1).count() == snap1_rows
     # idempotent: second vacuum finds nothing (sidecars already gone)
     assert cat.vacuum("t")["removed"] == 0
+
+
+def test_vacuum_root_spelling_independent(spark, tmp_path):
+    """r6 advice fix: manifests store file paths as the WRITER spelled
+    them; a vacuum through a differently-spelled root (symlink, other
+    CWD, trailing segments) must not classify every committed file as
+    orphaned. The fix compares the data/<part>=<key>/<uuid>/<file>
+    suffix instead of CWD-resolved absolute paths."""
+    import os
+
+    from kaza_lcms_spark.sources.catalog import Catalog
+
+    real_root = tmp_path / "cat_spell"
+    cat = Catalog(str(real_root))
+    df = spark.range(20).select(F.col("id"), (F.col("id") % 2).alias("pt"))
+    cat.write_partitioned(spark, df, "t", "pt")
+
+    link = tmp_path / "cat_link"
+    os.symlink(real_root, link)
+    cat2 = Catalog(str(link))            # same table, different spelling
+    dry = cat2.vacuum("t", dry_run=True)
+    assert dry["kept"] > 0               # committed parquet recognized
+    res = cat2.vacuum("t")
+    assert res["kept"] == dry["kept"]    # only sidecars (_SUCCESS/.crc) go
+    assert cat.read_table(spark, "t").count() == 20

@@ -375,3 +375,23 @@ def test_cosine_ivf_foreign_id_batch_keeps_colliding_ids(spark):
         spark, corpus, k=60, n_centroids=2, nprobe=2, sample_rows=60,
         query_df=probe).collect()}
     assert 3 not in excl                   # default still self-excludes
+
+
+def test_knn_per_cell_null_cells_survive_mega_peel(spark):
+    """r6 advice fix: with a mega tier peeled, NULL-cell rows used to be
+    silently dropped (~isin(mega) is NULL for NULL cells); the same
+    input must yield the same coverage with and without a mega tier."""
+    rows = [(i, i % 3 if i % 7 else None, (i * 2654435761) % (1 << 62))
+            for i in range(60)]
+    pts = spark.createDataFrame(rows, "doc_id long, cell long, h long")
+    no_mega = KNN.knn_per_cell(pts, k=2, cell_col="cell", id_col="doc_id",
+                               hash_col="h", salt_threshold=100)
+    forced_mega = KNN.knn_per_cell(pts, k=2, cell_col="cell", id_col="doc_id",
+                                   hash_col="h", salt_threshold=10,
+                                   broadcast_cap=0, mega_chunk_rows=8)
+    a = sorted(map(tuple, no_mega.collect()))
+    b = sorted(map(tuple, forced_mega.collect()))
+    assert a == b
+    null_ids = {r[0] for r in rows if r[1] is None}
+    covered = {t[0] for t in b}
+    assert null_ids & covered == null_ids & {t[0] for t in a}
