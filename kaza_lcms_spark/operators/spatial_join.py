@@ -73,13 +73,20 @@ def with_footprint(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     The input table is contract-shaped (no geo columns,
     BASELINE.json::input_hint); the footprint is a pure function of the id
     (datagen.footprint_from_ids), computed in a vectorized Arrow batch UDF.
+
+    The ``img_%012d`` index is parsed IN THE JVM (substring+cast,
+    codegen) so the UDF receives an int64 column — Arrow→pandas for
+    int64 is a zero-copy view, while the id strings would materialize
+    one Python object per row on every recompute of this chain (the
+    per-cell kNN derives from it three times per call).
     """
     @F.pandas_udf("lon double, lat double")
-    def fp(ids: pd.Series) -> pd.DataFrame:
-        lon, lat = datagen.footprint_from_ids(parse_image_idx(ids))
+    def fp(pidx: pd.Series) -> pd.DataFrame:
+        lon, lat = datagen.footprint_from_ids(pidx.to_numpy())
         return pd.DataFrame({"lon": lon, "lat": lat})
 
-    return (df.withColumn("_fp", fp(F.col(id_col)))
+    idx_col = F.substring(F.col(id_col), 5, 12).cast("long")
+    return (df.withColumn("_fp", fp(idx_col))
               .withColumn("lon", F.col("_fp.lon"))
               .withColumn("lat", F.col("_fp.lat"))
               .drop("_fp"))
