@@ -141,6 +141,48 @@ def decode_batch(blobs) -> tuple[list, list]:
     return pixels, fmts
 
 
+def decode_batch_views(data: np.ndarray, off: np.ndarray) -> tuple[list, list]:
+    """:func:`decode_batch` over zero-copy Arrow binary views: ``data``
+    is the batch's contiguous uint8 data buffer, ``off[i]:off[i+1]``
+    the i-th blob. Headers parse as one vectorized (n, 11) gather; RLE
+    and quant groups run-expand once over the group's concatenated
+    bodies. Bit-identical to per-image :func:`decode` (tested)."""
+    n = len(off) - 1
+    if n == 0:
+        return [], []
+    starts = np.asarray(off[:-1], dtype=np.int64)
+    hdr = data[starts[:, None] + np.arange(11)]
+    if not ((hdr[:, 0] == MAGIC[0]) & (hdr[:, 1] == MAGIC[1])).all():
+        raise ValueError("bad magic")
+    codes = hdr[:, 2]
+    ws = np.ascontiguousarray(hdr[:, 3:7]).view("<u4").ravel().astype(np.int64)
+    hs = np.ascontiguousarray(hdr[:, 7:11]).view("<u4").ravel().astype(np.int64)
+    pixels: list = [None] * n
+    fmts = [_FMT_NAME[int(c)] for c in codes]
+    for i in np.flatnonzero(codes == FMT_RAW):
+        pixels[i] = data[starts[i] + 11: off[i + 1]].reshape(hs[i], ws[i])
+    for code in (FMT_RLE, FMT_QUANT):
+        idxs = np.flatnonzero(codes == code)
+        if not len(idxs):
+            continue
+        runs = np.concatenate(
+            [data[starts[i] + 11: off[i + 1]] for i in idxs]).reshape(-1, 2)
+        flat = np.repeat(runs[:, 1], runs[:, 0])
+        if code == FMT_QUANT:
+            flat = np.clip(np.round(flat.astype(np.float64) * _QSTEP),
+                           0, 255).astype(np.uint8)
+        o = 0
+        for i in idxs:
+            npix = int(hs[i] * ws[i])
+            pixels[i] = flat[o:o + npix].reshape(hs[i], ws[i])
+            o += npix
+    bad = np.flatnonzero((codes != FMT_RAW) & (codes != FMT_RLE)
+                         & (codes != FMT_QUANT))
+    if len(bad):
+        raise ValueError(f"unknown fmt code {int(codes[bad[0]])}")
+    return pixels, fmts
+
+
 def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic resize, pure numpy. Downscale: exact mean over the
     integer pixel box [floor(i·h/oh), floor((i+1)·h/oh)) per output cell

@@ -67,6 +67,27 @@ def parse_image_idx(ids: pd.Series) -> np.ndarray:
     return digits @ powers
 
 
+def _parse_arrow_ids(arr) -> np.ndarray:
+    """``img_%012d`` Arrow string column → int64 indices with zero
+    Python-object materialization: all ids are fixed 16-byte strings, so
+    the Arrow offsets are uniform and the data buffer views directly as
+    an (n, 16) uint8 matrix for the digit dot product. Ragged or
+    unexpected inputs fall back to the object path (parse_image_idx —
+    identical values)."""
+    a = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+    bufs = a.buffers()
+    if a.null_count == 0 and len(bufs) == 3 and bufs[2] is not None:
+        off = np.frombuffer(bufs[1], dtype=np.int32)[
+            a.offset: a.offset + len(a) + 1].astype(np.int64)
+        if len(off) > 1 and (np.diff(off) == 16).all():
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            view = data[off[0]:off[-1]].reshape(-1, 16)
+            digits = (view[:, 4:16] - ord("0")).astype(np.int64)
+            powers = (10 ** np.arange(11, -1, -1)).astype(np.int64)
+            return digits @ powers
+    return parse_image_idx(pd.Series(a.to_pylist()))
+
+
 def with_footprint(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Attach deterministic (lon, lat) center derived from the image id.
 
@@ -285,11 +306,14 @@ def assign_images_fused(spark: SparkSession, images_df: DataFrame,
                         prefilter: bool = True,
                         fine_level: int = FINE_LEVEL) -> DataFrame:
     """Single-pass flagship join: footprint derivation + cell encode +
-    coarse-cover prefilter + exact R-tree PIP in ONE mapInPandas kernel —
-    one Arrow round-trip instead of four chained Python stages. This is
-    the physical plan the 100 TB path wants: a narrow map over the scan
-    with zero shuffles; per-batch numpy cost is ~1 ms / 4k rows, so the
-    pipeline is I/O-bound, exactly as it should be.
+    coarse-cover prefilter + exact R-tree PIP in ONE mapInArrow kernel —
+    one Arrow round-trip instead of four chained Python stages, and no
+    pandas object materialization on either side of the boundary (the
+    fixed-width ids parse zero-copy from the Arrow data buffer; kept
+    rows are re-emitted with Arrow ``take``). This is the physical plan
+    the 100 TB path wants: a narrow map over the scan with zero
+    shuffles; per-batch numpy cost is ~1 ms / 4k rows, so the pipeline
+    is I/O-bound, exactly as it should be.
     """
     bidx = spark.sparkContext.broadcast(index)
     cover = polygon_cover_cells(index, COARSE_LEVEL) if prefilter else None
@@ -301,27 +325,32 @@ def assign_images_fused(spark: SparkSession, images_df: DataFrame,
         StructField("lon", DoubleType()), StructField("lat", DoubleType()),
         StructField("cell_id", LongType()), StructField("unit_id", LongType()),
     ])
+    out_names = [f.name for f in out_schema.fields]
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+
         ix = bidx.value
         cov = bcov.value if bcov is not None else None
-        for b in batches:
-            if not len(b):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            lon, lat = datagen.footprint_from_ids(parse_image_idx(b[id_col]))
+            lon, lat = datagen.footprint_from_ids(
+                _parse_arrow_ids(rb.column(0)))
             cell = grid.encode(lon, lat, fine_level)
-            keep = np.arange(len(b))
+            keep = np.arange(rb.num_rows)
             if cov is not None:
                 m = np.isin(grid.parent(cell, COARSE_LEVEL), cov)
                 keep = keep[m]
                 lon, lat, cell = lon[m], lat[m], cell[m]
             pi, units = ix.probe(lon, lat)
-            out = b.iloc[keep[pi]][cols].reset_index(drop=True)
-            out["lon"] = lon[pi]; out["lat"] = lat[pi]
-            out["cell_id"] = cell[pi]; out["unit_id"] = units
-            yield out
+            sel = pa.array(keep[pi].astype(np.int64))
+            arrays = [rb.column(i).take(sel) for i in range(rb.num_columns)]
+            arrays += [pa.array(lon[pi]), pa.array(lat[pi]),
+                       pa.array(cell[pi]), pa.array(units)]
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
 
-    return images_df.select(*cols).mapInPandas(kernel, out_schema)
+    return images_df.select(*cols).mapInArrow(kernel, out_schema)
 
 
 def zonal_counts_fused(spark: SparkSession, images_df: DataFrame,

@@ -47,16 +47,33 @@ DECODE_STATS_SCHEMA = StructType([
 def decode_stats(df: DataFrame) -> DataFrame:
     """Decode every image; emit per-image pixel stats + recomputed phash.
     The full-decode benchmark kernel: exercises binary Arrow transfer +
-    numpy decode throughput."""
+    numpy decode throughput.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if not len(b):
+    mapInArrow: the binary payloads decode from zero-copy views of the
+    Arrow data buffer (codec.decode_batch_views) — no per-image Python
+    bytes objects, no pandas materialization; the passthrough columns
+    are re-emitted 1:1. Nullable/chunk-odd batches fall back to the
+    object path (codec.decode_batch, bit-identical)."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            n = len(b)
+            byts = rb.column(1)
+            bufs = byts.buffers()
+            if byts.null_count == 0 and len(bufs) == 3 and bufs[2] is not None:
+                off = np.frombuffer(bufs[1], dtype=np.int32)[
+                    byts.offset: byts.offset + n + 1].astype(np.int64)
+                data = np.frombuffer(bufs[2], dtype=np.uint8)
+                pixels, _ = codec.decode_batch_views(data, off)
+            else:
+                pixels, _ = codec.decode_batch(
+                    [bytes(x) for x in byts.to_pylist()])
             means = np.empty(n); stds = np.empty(n)
             ph = np.empty(n, dtype=np.int64)
-            pixels, _ = codec.decode_batch(list(b["bytes"]))
             # group same-shaped images into stacks: stats + phash vectorize;
             # chunked and uint8/float32 to stay cache/bandwidth-friendly
             shapes = np.array([p.shape[0] * 100000 + p.shape[1] for p in pixels])
@@ -68,14 +85,14 @@ def decode_stats(df: DataFrame) -> DataFrame:
                     means[sub] = stack.mean(axis=(1, 2), dtype=np.float64)
                     stds[sub] = stack.std(axis=(1, 2), dtype=np.float64)
                     ph[sub] = codec.phash64_batch(stack)
-            yield pd.DataFrame({
-                "image_id": b["image_id"], "fmt": b["fmt"],
-                "w": b["w"], "h": b["h"],
-                "mean_px": means, "std_px": stds, "phash_check": ph,
-            })
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(4), rb.column(2), rb.column(3),
+                 pa.array(means), pa.array(stds), pa.array(ph)],
+                ["image_id", "fmt", "w", "h",
+                 "mean_px", "std_px", "phash_check"])
 
     cols = ["image_id", "bytes", "w", "h", "fmt"]
-    return df.select(*cols).mapInPandas(run, DECODE_STATS_SCHEMA)
+    return df.select(*cols).mapInArrow(run, DECODE_STATS_SCHEMA)
 
 
 def verify_invariants(df: DataFrame) -> DataFrame:

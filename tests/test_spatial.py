@@ -269,3 +269,19 @@ def test_decode_batch_matches_scalar(fixture_dir):
         assert fmt == sfmt
         assert px.dtype == spx.dtype and px.shape == spx.shape
         assert (px == spx).all()
+
+
+def test_decode_batch_views_matches_scalar(fixture_dir):
+    """r6: decode_stats moved to Arrow buffer views — decode_batch_views
+    must reproduce per-image codec.decode bit-for-bit across fmts."""
+    import pyarrow.parquet as pq
+    from kaza_lcms_spark.kernels import codec
+    t = pq.read_table(fixture_dir + "/images.parquet").to_pandas().head(500)
+    blobs = [bytes(x) for x in t["bytes"]]
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    off = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=off[1:])
+    pxs, fmts = codec.decode_batch_views(data, off)
+    for blob, px, fmt in zip(blobs, pxs, fmts):
+        spx, sfmt = codec.decode(blob)
+        assert fmt == sfmt and px.shape == spx.shape and (px == spx).all()
